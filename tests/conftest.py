@@ -1,0 +1,16 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh with native float64 so that
+# physics regression comparisons are meaningful; TPU benchmarking is
+# exercised separately via bench.py.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+REF_CASES = "/root/reference/testCases"
