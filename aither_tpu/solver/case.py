@@ -1,0 +1,300 @@
+"""Case construction: deck + grid -> device-ready per-block solver context.
+
+Host-side setup (runs once).  Produces:
+  * static per-block metadata (dims, ghost layers, BC surface specs),
+  * device geometry arrays,
+  * initial primitive state,
+  * connection specs for interblock/periodic halo swaps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any
+
+import numpy as np
+
+from ..io.deck import Deck, parse_deck
+from ..io.plot3d import read_p3d
+from ..grid.geometry import (BlockGeometry, build_block_geometry,
+                             finalize_block_geometry, AX)
+from ..grid import connections as conn_mod
+from ..physics.models import Physics
+from .bc import BCData, make_bc_data
+
+
+@dataclasses.dataclass(frozen=True)
+class SurfaceSpec:
+    """Static description of one boundary surface on a padded block."""
+
+    bc_type: str
+    direction: str            # i/j/k
+    lower: bool
+    tag: int
+    # padded cell ranges in the two transverse axes, ordered by axis number
+    patch: tuple              # ((lo, hi), (lo, hi))
+    data: Any = None          # BCData or None
+
+    @property
+    def axis(self):
+        return AX[self.direction]
+
+
+@dataclasses.dataclass
+class Block:
+    """One block's solver context."""
+
+    index: int
+    parent: int               # parent block in the original grid
+    ni: int
+    nj: int
+    nk: int
+    g: int
+    geom: dict                # device arrays (jnp) keyed by name
+    surfaces: list            # list[SurfaceSpec]
+    prim0: Any                # initial padded primitive array (numpy)
+
+    @property
+    def shape(self):
+        return (self.ni + 2 * self.g, self.nj + 2 * self.g,
+                self.nk + 2 * self.g)
+
+
+@dataclasses.dataclass
+class Case:
+    deck: Deck
+    phys: Physics
+    blocks: list
+    connections: list
+    total_cells: float
+    dtype: Any
+
+    @property
+    def num_blocks(self):
+        return len(self.blocks)
+
+
+def _surface_specs(deck: Deck, bc, g: int) -> list:
+    specs = []
+    for s in bc.surfaces:
+        rng = s.ranges()
+        ax = AX[s.direction]
+        patch = tuple((g + lo, g + hi) for a, (lo, hi) in enumerate(rng)
+                      if a != ax)
+        data = None
+        if s.bc_type not in ("interblock", "periodic", "slipWall"):
+            try:
+                data = make_bc_data(deck.bc_data(s.tag), deck)
+            except KeyError:
+                data = BCData()
+        specs.append(SurfaceSpec(bc_type=s.bc_type, direction=s.direction,
+                                 lower=s.is_lower, tag=s.tag, patch=patch,
+                                 data=data))
+    return specs
+
+
+def _initial_prim(deck: Deck, phys: Physics, block_idx: int,
+                  shape) -> np.ndarray:
+    """Nondimensional initial condition (reference: primitive.cpp:41-66)."""
+    ic = deck.ic_for_block(block_idx)
+    a, r = deck.a_ref, deck.r_ref
+    rho = ic["density"] / r
+    vel = [v / a for v in ic["velocity"]]
+    p = ic["pressure"] / (r * a * a)
+    mf = [0.0] * phys.ns
+    mfm = ic.get("massFractions")
+    if mfm:
+        for name, frac in mfm.items():
+            mf[deck.species_index(name)] = frac
+    else:
+        mf[0] = 1.0
+
+    prim = np.zeros((phys.neq,) + shape)
+    for s in range(phys.ns):
+        prim[s] = rho * mf[s]
+    prim[phys.mx] = vel[0]
+    prim[phys.my] = vel[1]
+    prim[phys.mz] = vel[2]
+    prim[phys.ie] = p
+    if phys.nturb:
+        ti = ic.get("turbulenceIntensity", 0.01)
+        evr = ic.get("eddyViscosityRatio", 0.01)
+        vmag2 = sum(v * v for v in vel)
+        tke = 1.5 * (ti * ti) * vmag2
+        import jax.numpy as jnp
+        q = jnp.asarray(prim[:, :1, :1, :1])
+        tt = phys.temperature(q[phys.ie], q[:phys.ns])
+        mu = float(phys.viscosity(tt, q[:phys.ns] / rho)[0, 0, 0])
+        omega = rho * tke / (evr * mu)
+        tmin = phys.turb_min()
+        prim[phys.it] = max(tke, tmin[0])
+        prim[phys.it + 1] = max(omega, tmin[1])
+    return prim
+
+
+def swap_geometry(geos: list, conns: list, g: int):
+    """Interblock geometry swap: fill each side's ghost geometry from the
+    partner's interior (reference: procBlock.cpp:3167+ PutGeomSlice via
+    gridLevel.cpp:68-73).  Cell-centered quantities swap the full
+    ghost-extended slab; face quantities are rebuilt from swapped centers
+    where needed (here: widths come from face centers, so we swap vol,
+    center, and per-direction face areas/centers for the slab interior)."""
+    for c in conns:
+        if not c.is_interblock:
+            # periodic geometry ghosts mirror like a normal boundary; the
+            # reference treats periodic geometry via the normal ghost path
+            continue
+        for acceptor, donor, swap_dir in ((c.first, c.second, "to_first"),
+                                          (c.second, c.first, "to_second")):
+            _swap_geom_one(geos, c, acceptor, donor, swap_dir, g)
+
+
+def _slab_indexer(side, g, n_dir, ghost: bool, layers: int):
+    """Padded index arrays along the patch-normal direction.
+
+    ghost=True: the ghost slab of the acceptor, ordered layer 1..layers
+    (nearest boundary first).  ghost=False: donor interior cells ordered
+    layer 1..layers."""
+    if side.lower:
+        if ghost:
+            return [g - el for el in range(1, layers + 1)]
+        return [g + el - 1 for el in range(1, layers + 1)]
+    if ghost:
+        return [g + n_dir + el - 1 for el in range(1, layers + 1)]
+    return [g + n_dir - el for el in range(1, layers + 1)]
+
+
+def _patch_slices(side, g, extend: int):
+    """Padded slices in the patch's d1/d2 axes, extended by `extend`."""
+    d1lo, d1hi = side.d1_range
+    d2lo, d2hi = side.d2_range
+    return (slice(g + d1lo - extend, g + d1hi + extend),
+            slice(g + d2lo - extend, g + d2hi + extend))
+
+
+def _swap_geom_one(geos, c, acceptor, donor, direction, g):
+    from ..grid.connections import orient_to_first, orient_to_second, AX as CAX
+    ga = geos[acceptor.block]
+    gd = geos[donor.block]
+    n_a = {"i": ga.ni, "j": ga.nj, "k": ga.nk}[acceptor.direction]
+    n_d = {"i": gd.ni, "j": gd.nj, "k": gd.nk}[donor.direction]
+    ghost_idx = _slab_indexer(acceptor, g, n_a, True, g)
+    donor_idx = _slab_indexer(donor, g, n_d, False, g)
+    a_sl = _patch_slices(acceptor, g, g)
+    d_sl = _patch_slices(donor, g, g)
+    orient = (orient_to_first if direction == "to_first" else orient_to_second)
+
+    def _idx(side, d3, d1, d2):
+        out = [None, None, None]
+        out[CAX[side.direction]] = d3
+        out[CAX[side.d1]] = d1
+        out[CAX[side.d2]] = d2
+        return tuple(out)
+
+    def _d1_first(side):
+        rem = [a for a in range(3) if a != CAX[side.direction]]
+        return rem.index(CAX[side.d1]) == 0
+
+    def take(arr, d3, d1, d2, side):
+        """extract plane with axes canonically ordered (d1, d2, ...)"""
+        plane = arr[_idx(side, d3, d1, d2)]
+        if not _d1_first(side):
+            plane = np.swapaxes(plane, 0, 1)
+        return plane
+
+    # cell quantities: per layer, extract donor plane, reorient, insert.
+    # widths permute axes under the orientation: acceptor-normal width comes
+    # from donor-normal width, acceptor-d1 width from donor-d1 (or d2 when
+    # the orientation swaps in-plane axes), etc.
+    swap12 = c.orientation in (2, 4, 5, 7)
+    width_map = {
+        acceptor.direction: donor.direction,
+        acceptor.d1: donor.d2 if swap12 else donor.d1,
+        acceptor.d2: donor.d1 if swap12 else donor.d2,
+    }
+    pairs = [("vol", "vol"), ("center", "center")]
+    for d_acc, d_don in width_map.items():
+        pairs.append((f"width_{d_acc}", f"width_{d_don}"))
+
+    for el in range(g):
+        for name_a, name_d in pairs:
+            arr_a = getattr(ga, name_a)
+            arr_d = getattr(gd, name_d)
+            if arr_a is None or arr_d is None:
+                continue
+            plane = take(arr_d, donor_idx[el], d_sl[0], d_sl[1], donor)
+            # plane axes canonical (d1_donor, d2_donor, ...); reorient into
+            # the acceptor patch's frame
+            plane = orient(plane, c.orientation, 0, 1)
+            if not _d1_first(acceptor):
+                plane = np.swapaxes(plane, 0, 1)
+            arr_a[_idx(acceptor, ghost_idx[el], a_sl[0], a_sl[1])] = plane
+
+
+def build_case(deck_path: str, dtype=None) -> Case:
+    import jax.numpy as jnp
+    deck = parse_deck(deck_path).finalize()
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype  # honors jax_enable_x64
+    phys = Physics.from_deck(deck)
+    g = deck.num_ghosts
+
+    case_dir = os.path.dirname(os.path.abspath(deck_path))
+    grid_path = os.path.join(case_dir, deck["gridName"] + ".xyz")
+    grids = read_p3d(grid_path, deck.l_ref)
+    total_cells = sum((b.shape[0] - 1) * (b.shape[1] - 1) * (b.shape[2] - 1)
+                      for b in grids)
+
+    conns = conn_mod.find_connections(deck.bcs, grids, deck.bc_states)
+
+    # boundary ghost pass + edge pass + widths per block, then overwrite
+    # interblock ghost slabs (vol/center/widths incl. corner extensions)
+    # with donor values — the swap runs last so donor-side widths are final
+    geos = []
+    for b, (nodes, bc) in enumerate(zip(grids, deck.bcs)):
+        geos.append(build_block_geometry(nodes, bc, g, finalize=True))
+    swap_geometry(geos, conns, g)
+
+    blocks = []
+    for b, geo in enumerate(geos):
+        prim0 = _initial_prim(deck, phys, b, geo.shape)
+        geom = _device_geometry(geo, dtype)
+        blocks.append(Block(index=b, parent=b, ni=geo.ni, nj=geo.nj,
+                            nk=geo.nk, g=g, geom=geom,
+                            surfaces=_surface_specs(deck, deck.bcs[b], g),
+                            prim0=prim0.astype(dtype)))
+
+    return Case(deck=deck, phys=phys, blocks=blocks, connections=conns,
+                total_cells=total_cells, dtype=dtype)
+
+
+def _device_geometry(geo: BlockGeometry, dtype):
+    import jax.numpy as jnp
+
+    def dev(x):
+        return jnp.asarray(x, dtype=dtype)
+
+    def unit_and_mag(fa):
+        mag = np.sqrt((fa * fa).sum(axis=-1))
+        unit = np.where(mag[..., None] > 0.0, fa / np.where(
+            mag[..., None] > 0.0, mag[..., None], 1.0), 0.0)
+        # move xyz axis first: (3, ...)
+        return (dev(np.moveaxis(unit, -1, 0)), dev(mag))
+
+    ni, nj, nk = geo.fa_i.shape[:3]
+    n_i, mag_i = unit_and_mag(geo.fa_i)
+    n_j, mag_j = unit_and_mag(geo.fa_j)
+    n_k, mag_k = unit_and_mag(geo.fa_k)
+    return dict(
+        vol=dev(geo.vol),
+        center=dev(np.moveaxis(geo.center, -1, 0)),
+        n_i=n_i, mag_i=mag_i, n_j=n_j, mag_j=mag_j, n_k=n_k, mag_k=mag_k,
+        fc_i=dev(np.moveaxis(geo.fc_i, -1, 0)),
+        fc_j=dev(np.moveaxis(geo.fc_j, -1, 0)),
+        fc_k=dev(np.moveaxis(geo.fc_k, -1, 0)),
+        width_i=dev(geo.width_i), width_j=dev(geo.width_j),
+        width_k=dev(geo.width_k),
+        wall_dist=dev(geo.wall_dist) if geo.wall_dist is not None
+        else dev(np.full_like(geo.vol, 1.0e10)),
+    )

@@ -1,0 +1,417 @@
+"""The jitted solver step: ghost fill, halo swaps, residual, update.
+
+TPU-first structure: everything here is pure array code over padded
+equation-major blocks; the per-surface/per-connection loops unroll at trace
+time into static slice updates, so one jit compilation covers the whole
+multi-block iteration (reference call stack: gridLevel::GetBoundaryConditions
++ CalcResidual + UpdateBlocks; SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..grid.geometry import AX
+from ..grid.connections import orient_to_first, orient_to_second
+from ..physics.models import Physics
+from . import bc as bc_mod
+from . import state as st
+from .reconstruction import reconstruct_faces
+from .flux import inviscid_flux
+
+RK4_ALPHA = (0.25, 1.0 / 3.0, 0.5, 1.0)  # low-storage RK4 (procBlock.cpp:941)
+
+
+# ---------------------------------------------------------------------------
+# ghost-state assignment
+
+
+def _cell_indices(g, n, lower: bool, layer: int):
+    """(gcell, icell, acell) padded indices per ghost layer
+    (reference: procBlock.cpp:2470-2500)."""
+    if lower:
+        gcell = g - layer
+        icell = min(g + layer - 1, g + n - 1)
+        acell = g
+    else:
+        gcell = g + n + layer - 1
+        icell = max(g + n - layer, g)
+        acell = g + n - 1
+    return gcell, icell, acell
+
+
+def _plane(arr, axis, idx, patch):
+    """index plane `idx` on `axis` (1-based spatial axis within an
+    equation-major array), patch slices elsewhere."""
+    out = [slice(None)] * arr.ndim
+    out[axis] = idx
+    taxes = [a for a in range(arr.ndim - 3, arr.ndim) if a != axis]
+    out[taxes[0]] = slice(*patch[0])
+    out[taxes[1]] = slice(*patch[1])
+    return tuple(out)
+
+
+def boundary_normal(geom, spec, g, n):
+    """Outward unit normal on the boundary faces of a surface patch: (3, ...)."""
+    d = spec.direction
+    normals = geom[f"n_{d}"]
+    bnd = g if spec.lower else g + n
+    idx = _plane(normals, 1 + spec.axis, bnd, spec.patch)
+    nvec = normals[idx]
+    return -nvec if spec.lower else nvec
+
+
+def apply_boundary_ghosts(phys: Physics, block, prim, viscous_pass=False):
+    """Assign ghost states for all non-connection surfaces
+    (reference: procBlock.cpp:2449-2563).  For the inviscid pass
+    viscousWall degrades to slipWall; the viscous pass re-does viscousWall
+    surfaces with the full wall model."""
+    g = block.g
+    dims = {"i": block.ni, "j": block.nj, "k": block.nk}
+    for layer in range(1, g + 1):
+        for spec in block.surfaces:
+            if spec.bc_type in ("interblock", "periodic"):
+                continue
+            bct = spec.bc_type
+            if bct == "viscousWall" and not viscous_pass:
+                bct = "slipWall"
+            if viscous_pass and spec.bc_type != "viscousWall":
+                continue
+            n = dims[spec.direction]
+            ax = 1 + spec.axis
+            gcell, icell, acell = _cell_indices(g, n, spec.lower, layer)
+            norm = boundary_normal(block.geom, spec, g, n)
+            src = icell if bct == "slipWall" else acell
+            interior = prim[_plane(prim, ax, src, spec.patch)]
+            ghost = bc_mod.ghost_state(phys, bct, interior, norm, spec.data,
+                                       layer)
+            prim = prim.at[_plane(prim, ax, gcell, spec.patch)].set(ghost)
+    return prim
+
+
+# direction-2/3 pairs for the edge pass (procBlock edge convention:
+# i-line -> d2=j, d3=k; j-line -> d2=k, d3=i; k-line -> d2=i, d3=j)
+EDGE_DIRS = {"i": ("j", "k"), "j": ("k", "i"), "k": ("i", "j")}
+
+
+def _surface_bc_grid(block, d: str, lower: bool):
+    """host-side map of bc type over a block face: array (n1, n2) of small
+    ints (0=other, 1=slipWall-like wall) in the face's transverse axes order."""
+    dims = {"i": block.ni, "j": block.nj, "k": block.nk}
+    taxes = [a for a in "ijk" if a != d]
+    shape = (dims[taxes[0]], dims[taxes[1]])
+    out = np.zeros(shape, dtype=np.int8)
+    types = np.empty(shape, dtype=object)
+    types[:] = "none"
+    for spec in block.surfaces:
+        if spec.direction != d or spec.lower != lower:
+            continue
+        sl = tuple(slice(lo - block.g, hi - block.g) for lo, hi in spec.patch)
+        bct = spec.bc_type
+        types[sl] = bct
+        out[sl] = 1 if bct in ("slipWall", "viscousWall") else 0
+    return out, types
+
+
+def apply_edge_ghosts(phys: Physics, block, prim):
+    """Corner/edge ghost states (reference: procBlock.cpp:2565-2804):
+    wall surfaces extend their reflection into the corner; otherwise equal
+    layers average and unequal layers copy from the deeper direction."""
+    g = block.g
+    dims = {"i": block.ni, "j": block.nj, "k": block.nk}
+
+    for d in "ijk":
+        d2, d3 = EDGE_DIRS[d]
+        ax1, ax2, ax3 = 1 + AX[d], 1 + AX[d2], 1 + AX[d3]
+        max2, max3 = dims[d2], dims[d3]
+        n1 = dims[d]
+        line = slice(g, g + n1)
+
+        for upper2 in (False, True):
+            for upper3 in (False, True):
+                for layer3 in range(1, g + 1):
+                    for layer2 in range(1, g + 1):
+                        if upper2:
+                            p2 = g + max2 + layer2 - 2
+                            c2 = p2 + 1
+                        else:
+                            p2 = g + 1 - layer2
+                            c2 = p2 - 1
+                        if upper3:
+                            p3 = g + max3 + layer3 - 2
+                            c3 = p3 + 1
+                        else:
+                            p3 = g + 1 - layer3
+                            c3 = p3 - 1
+
+                        def sl(i2, i3):
+                            out = [slice(None)] * prim.ndim
+                            out[ax1] = line
+                            out[ax2] = i2
+                            out[ax3] = i3
+                            return tuple(out)
+
+                        s_d2 = prim[sl(p2, c3)]   # toward direction 2
+                        s_d3 = prim[sl(c2, p3)]   # toward direction 3
+
+                        # wall masks along the line: does the d2 (resp. d3)
+                        # surface at this corner carry a wall bc?
+                        w2 = _wall_mask(block, d2, not upper2, d, upper3,
+                                        layer3)
+                        w3 = _wall_mask(block, d3, not upper3, d, upper2,
+                                        layer2)
+
+                        # wall extensions: reflect across the wall face
+                        norm2 = _edge_face_normal(block, d, d2, d3, upper2,
+                                                  upper3, c3, which=2)
+                        norm3 = _edge_face_normal(block, d, d2, d3, upper2,
+                                                  upper3, c2, which=3)
+                        ghost_w2 = bc_mod.slip_wall(phys, s_d2, norm2, None,
+                                                    layer2)
+                        ghost_w3 = bc_mod.slip_wall(phys, s_d3, norm3, None,
+                                                    layer3)
+
+                        if layer2 == layer3:
+                            normal = 0.5 * (s_d2 + s_d3)
+                        elif layer2 > layer3:
+                            normal = s_d3
+                        else:
+                            normal = s_d2
+
+                        ghost = jnp.where((w2 & ~w3)[None], ghost_w2,
+                                          jnp.where((~w2 & w3)[None],
+                                                    ghost_w3, normal))
+                        prim = prim.at[sl(c2, c3)].set(ghost)
+    return prim
+
+
+def _wall_mask(block, dface: str, lower: bool, dline: str, upper_other: bool,
+               layer_other: int):
+    """Boolean mask over the edge line: True where the bounding surface in
+    `dface` direction is a wall at the corner position."""
+    wall, _ = _surface_bc_grid(block, dface, lower)
+    taxes = [a for a in "ijk" if a != dface]
+    li = taxes.index(dline)
+    oi = 1 - li
+    other_dim = wall.shape[oi]
+    oidx = other_dim - 1 if upper_other else 0
+    line_vals = np.take(wall, oidx, axis=oi)
+    return jnp.asarray(line_vals.astype(bool))
+
+
+def _edge_face_normal(block, d, d2, d3, upper2, upper3, other_idx, which):
+    """Outward unit normal of the wall face bounding an edge corner, along
+    the edge line (3, n1)."""
+    g = block.g
+    dims = {"i": block.ni, "j": block.nj, "k": block.nk}
+    if which == 2:
+        dface, upper, dother = d2, upper2, d3
+    else:
+        dface, upper, dother = d3, upper3, d2
+    normals = block.geom[f"n_{dface}"]
+    fidx = g + dims[dface] if upper else g
+    out = [slice(None)] * 4
+    out[1 + AX[dface]] = fidx
+    out[1 + AX[d]] = slice(g, g + dims[d])
+    out[1 + AX[dother]] = other_idx
+    nvec = normals[tuple(out)]
+    return nvec if upper else -nvec
+
+
+# ---------------------------------------------------------------------------
+# interblock / periodic halo swap
+
+
+def swap_connection_states(phys: Physics, blocks, prims, conn, g):
+    """Swap ghost slabs across one connection (both directions)
+    (reference: multiArray3d.hpp:790-870 SwapSliceLocal)."""
+    out = dict(prims)
+    for acceptor, donor, to_first, border in (
+            (conn.first, conn.second, True, conn.border_first),
+            (conn.second, conn.first, False, conn.border_second)):
+        blk_a = blocks[acceptor.block]
+        blk_d = blocks[donor.block]
+        dims_a = {"i": blk_a.ni, "j": blk_a.nj, "k": blk_a.nk}
+        dims_d = {"i": blk_d.ni, "j": blk_d.nj, "k": blk_d.nk}
+        n_a = dims_a[acceptor.direction]
+        n_d = dims_d[donor.direction]
+
+        # extended patch slices (padded), trimmed where the patch borders
+        # another connection (those corners belong to the neighbor's swap)
+        ea = [g, g, g, g]
+        for idx in range(4):
+            if border[idx]:
+                ea[idx] = 0
+        a1 = slice(g + acceptor.d1_range[0] - ea[0],
+                   g + acceptor.d1_range[1] + ea[1])
+        a2 = slice(g + acceptor.d2_range[0] - ea[2],
+                   g + acceptor.d2_range[1] + ea[3])
+        # donor slices always fully extended, then cropped after orienting
+        d1 = slice(g + donor.d1_range[0] - g, g + donor.d1_range[1] + g)
+        d2 = slice(g + donor.d2_range[0] - g, g + donor.d2_range[1] + g)
+
+        donor_prim = out[donor.block]
+        planes = []
+        for layer in range(1, g + 1):
+            if donor.lower:
+                didx = g + layer - 1
+            else:
+                didx = g + n_d - layer
+            idx = [slice(None)] * 4
+            idx[1 + AX[donor.direction]] = didx
+            idx[1 + AX[donor.d1]] = d1
+            idx[1 + AX[donor.d2]] = d2
+            plane = donor_prim[tuple(idx)]
+            # canonical order (neq, d1_donor, d2_donor)
+            rem = [a for a in range(3) if a != AX[donor.direction]]
+            if rem.index(AX[donor.d1]) != 0:
+                plane = jnp.swapaxes(plane, 1, 2)
+            orient = orient_to_first if to_first else orient_to_second
+            plane = orient(plane, conn.orientation, 1, 2)
+            planes.append(plane)
+
+        prim_a = out[acceptor.block]
+        rem_a = [a for a in range(3) if a != AX[acceptor.direction]]
+        d1_first_a = rem_a.index(AX[acceptor.d1]) == 0
+        # crop the oriented plane to the (possibly trimmed) acceptor extent
+        full1 = acceptor.d1_range[1] - acceptor.d1_range[0] + 2 * g
+        lo1, hi1 = g - ea[0], full1 - (g - ea[1])
+        full2 = acceptor.d2_range[1] - acceptor.d2_range[0] + 2 * g
+        lo2, hi2 = g - ea[2], full2 - (g - ea[3])
+        for layer in range(1, g + 1):
+            if acceptor.lower:
+                gidx = g - layer
+            else:
+                gidx = g + n_a + layer - 1
+            plane = planes[layer - 1][:, lo1:hi1, lo2:hi2]
+            if not d1_first_a:
+                plane = jnp.swapaxes(plane, 1, 2)
+            idx = [slice(None)] * 4
+            idx[1 + AX[acceptor.direction]] = gidx
+            idx[1 + AX[acceptor.d1]] = a1
+            idx[1 + AX[acceptor.d2]] = a2
+            prim_a = prim_a.at[tuple(idx)].set(plane)
+        out[acceptor.block] = prim_a
+    return out
+
+
+def apply_all_bcs(phys: Physics, case, prims):
+    """Full ghost update: boundary surfaces, connection swaps, edges
+    (reference ordering: procBlock::GetBoundaryConditions →
+    gridLevel.cpp:287-370)."""
+    prims = {b.index: apply_boundary_ghosts(phys, b, prims[b.index])
+             for b in case.blocks}
+    g = case.blocks[0].g
+    for conn in case.connections:
+        prims = swap_connection_states(phys, case.blocks, prims, conn, g)
+    prims = {b.index: apply_edge_ghosts(phys, b, prims[b.index])
+             for b in case.blocks}
+    return prims
+
+
+# ---------------------------------------------------------------------------
+# residual + spectral radius
+
+
+def inviscid_residual(phys: Physics, deck_cfg, block, prim):
+    """Net inviscid outflux per physical cell + inviscid spectral radius
+    (reference: procBlock.cpp:384-824 CalcInvFluxI/J/K)."""
+    g = block.g
+    geom = block.geom
+    dims = dict(i=block.ni, j=block.nj, k=block.nk)
+    resid = jnp.zeros((phys.neq, block.ni, block.nj, block.nk), prim.dtype)
+    specrad = jnp.zeros((block.ni, block.nj, block.nk), prim.dtype)
+
+    P = [slice(g, g + dims[d]) for d in "ijk"]
+
+    for d in "ijk":
+        ax = 1 + AX[d]
+        n = dims[d]
+        # restrict transverse extents to physical cells; keep ghosts along d
+        tsl = [slice(None)] * 4
+        for a, dd in enumerate("ijk"):
+            if dd != d:
+                tsl[1 + a] = slice(g, g + dims[dd])
+        prim_d = prim[tuple(tsl)]
+        widths = geom[f"width_{d}"][tuple(tsl[1:])]
+        ql, qr = reconstruct_faces(prim_d, widths, ax, g, n,
+                                   deck_cfg["recon"], deck_cfg["kappa"],
+                                   deck_cfg["limiter"])
+        # physical faces slice of normals/mags
+        fidx = [slice(None)] * 4
+        for a, dd in enumerate("ijk"):
+            fidx[1 + a] = slice(g, g + dims[dd] + (1 if dd == d else 0))
+        nvec = geom[f"n_{d}"][tuple(fidx)]
+        mag = geom[f"mag_{d}"][tuple(fidx[1:])]
+        flux = inviscid_flux(phys, ql, qr, nvec, deck_cfg["flux"]) * mag[None]
+
+        lo = [slice(None)] * 4
+        hi = [slice(None)] * 4
+        lo[ax] = slice(0, n)
+        hi[ax] = slice(1, n + 1)
+        resid = resid + flux[tuple(hi)] - flux[tuple(lo)]
+
+        # inviscid cell spectral radius (spectralRadius.hpp:43-64)
+        cell = prim[tuple([slice(None)] + P)]
+        nl = nvec[tuple(lo)]
+        nh = nvec[tuple(hi)]
+        navg = 0.5 * (nl + nh)
+        navg = navg / jnp.sqrt((navg * navg).sum(axis=0))[None]
+        fmag = 0.5 * (mag[tuple(lo[1:])] + mag[tuple(hi[1:])])
+        vel = st.velocity(phys, cell)
+        a = st.sos(phys, cell)
+        specrad = specrad + (jnp.abs((vel * navg).sum(axis=0)) + a) * fmag
+
+    return resid, specrad
+
+
+def local_dt(deck_cfg, geom, specrad, g, dims, cfl):
+    """Local or global time step (reference: procBlock.cpp:6397-6420
+    CalcBlockTimeStep/CalcCellDt)."""
+    P = tuple(slice(g, g + n) for n in dims)
+    vol = geom["vol"][P]
+    if deck_cfg["dt"] > 0.0:
+        return jnp.full_like(vol, deck_cfg["dt_nondim"])
+    return cfl * vol / specrad
+
+
+def explicit_euler_update(phys: Physics, block, prim, resid, dt):
+    """(reference: procBlock.cpp:866-899)"""
+    g = block.g
+    P = (slice(None), slice(g, g + block.ni), slice(g, g + block.nj),
+         slice(g, g + block.nk))
+    interior = prim[P]
+    cons = st.cons_from_prim(phys, interior)
+    vol = block.geom["vol"][P[1:]]
+    cons = cons - (dt / vol)[None] * resid
+    return prim.at[P].set(st.prim_from_cons(phys, cons))
+
+
+def rk4_update(phys: Physics, block, prim, cons_n, resid, dt, stage):
+    """low-storage RK4 stage (reference: procBlock.cpp:927-950)"""
+    g = block.g
+    P = (slice(None), slice(g, g + block.ni), slice(g, g + block.nj),
+         slice(g, g + block.nk))
+    vol = block.geom["vol"][P[1:]]
+    cons = cons_n - (dt / vol)[None] * RK4_ALPHA[stage] * resid
+    return prim.at[P].set(st.prim_from_cons(phys, cons))
+
+
+def implicit_update(phys: Physics, block, prim, du):
+    """(reference: procBlock.cpp:902-925)"""
+    g = block.g
+    P = (slice(None), slice(g, g + block.ni), slice(g, g + block.nj),
+         slice(g, g + block.nk))
+    interior = prim[P]
+    return prim.at[P].set(st.update_prim_with_cons(phys, interior, du))
+
+
+def residual_norms(resid):
+    """per-equation sum of squares + (max value, flat location)
+    (reference: procBlock.cpp:826-864 UpdateBlock accumulation)."""
+    l2 = (resid * resid).sum(axis=(1, 2, 3))
+    flat = resid.reshape(resid.shape[0], -1)
+    linf = flat.max()
+    loc = jnp.argmax(flat)
+    return l2, linf, loc

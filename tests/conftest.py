@@ -3,7 +3,9 @@ import os
 # Tests run on a virtual 8-device CPU mesh with native float64 so that
 # physics regression comparisons are meaningful; TPU benchmarking is
 # exercised separately via bench.py.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU even when the harness presets JAX_PLATFORMS (e.g. axon/TPU):
+# physics regression comparisons need native float64
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -11,6 +13,8 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# something in the environment preloads jax_platforms="axon,cpu"; force CPU
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 REF_CASES = "/root/reference/testCases"
