@@ -68,8 +68,8 @@ def make_bc_data(state_obj, deck) -> BCData:
         turb_intensity=p.get("turbulenceIntensity", 0.01),
         eddy_visc_ratio=p.get("eddyViscosityRatio", 0.01),
         mass_fractions=tuple(mf),
-        stagnation_pressure=p.get("stagnationPressure", 0.0) / (r * a * a),
-        stagnation_temperature=p.get("stagnationTemperature", 0.0) / t,
+        stagnation_pressure=p.get("p0", 0.0) / (r * a * a),
+        stagnation_temperature=p.get("t0", 0.0) / t,
         direction=tuple(_normalize(p.get("direction", [0.0, 0.0, 0.0]))),
         temperature=p.get("temperature", -1.0) / t,
         heat_flux=p.get("heatFlux", 0.0) / (a / l) ** 3,

@@ -13,6 +13,7 @@ import numpy as np
 
 from . import step as step_mod
 from . import state as st
+from . import implicit as imp
 from .case import Case, build_case
 
 EPS = 1.0e-30
@@ -38,41 +39,152 @@ class Solver:
             dt=deck["timeStep"],
             dt_nondim=deck["timeStep"] * a_ref / l_ref,
             time_integration=deck["timeIntegration"],
+            theta=deck.theta,
+            zeta=deck.zeta,
+            multilevel_time=deck.is_multilevel_in_time,
+            dual_time_cfl=deck["dualTimeCFL"],
+            matrix_relaxation=deck["matrixRelaxation"],
+            matrix_solver=deck["matrixSolver"],
+            matrix_sweeps=deck["matrixSweeps"],
+            matrix_init=deck.matrix_requires_initialization(),
+            viscous=deck.is_viscous,
+            implicit=deck.is_implicit,
         )
         self.prims = {b.index: jnp.asarray(b.prim0) for b in self.case.blocks}
+        if deck.is_implicit:
+            self.ictx = {b.index: imp.build_implicit_context(b)
+                         for b in self.case.blocks}
         self._iterate = jax.jit(self._iteration, static_argnames=("stage",))
         self.l2_first = None
         self.iteration_start = 0
+        self.cons_n = self.store_old_solution()
+        self.cons_nm1 = (dict(self.cons_n) if deck.is_multilevel_in_time
+                         else {b.index: 0.0 for b in self.case.blocks})
 
     # -- one nonlinear iteration (jitted) -----------------------------------
-    def _iteration(self, prims, cons_n, cfl, stage: int):
+    def _iteration(self, prims, cons_n, cons_nm1, cfl, stage: int):
         phys = self.phys
         case = self.case
         prims = step_mod.apply_all_bcs(phys, case, prims)
+        residuals, specrads, dts = {}, {}, {}
+        for b in case.blocks:
+            resid, specrad = step_mod.inviscid_residual(
+                phys, self.cfg, b, prims[b.index])
+            residuals[b.index] = resid
+            specrads[b.index] = specrad
+            dts[b.index] = step_mod.local_dt(self.cfg, b.geom, specrad, b.g,
+                                             (b.ni, b.nj, b.nk), cfl)
+
+        matrix_resid = jnp.zeros((), self.case.dtype)
         new_prims = {}
+        if self.cfg["implicit"]:
+            new_prims, matrix_resid = self._implicit_update(
+                prims, residuals, specrads, dts, cons_n, cons_nm1)
+        else:
+            for b in case.blocks:
+                prim = prims[b.index]
+                ti = self.cfg["time_integration"]
+                if ti == "explicitEuler":
+                    prim = step_mod.explicit_euler_update(
+                        phys, b, prim, residuals[b.index], dts[b.index])
+                elif ti == "rk4":
+                    prim = step_mod.rk4_update(phys, b, prim, cons_n[b.index],
+                                               residuals[b.index],
+                                               dts[b.index], stage)
+                new_prims[b.index] = prim
+
         l2 = jnp.zeros(phys.neq, self.case.dtype)
         linfs = []
         for b in case.blocks:
-            prim = prims[b.index]
-            resid, specrad = step_mod.inviscid_residual(
-                phys, self.cfg, b, prim)
-            dims = (b.ni, b.nj, b.nk)
-            dt = step_mod.local_dt(self.cfg, b.geom, specrad, b.g, dims, cfl)
-            ti = self.cfg["time_integration"]
-            if ti == "explicitEuler":
-                prim = step_mod.explicit_euler_update(phys, b, prim, resid,
-                                                      dt)
-            elif ti == "rk4":
-                prim = step_mod.rk4_update(phys, b, prim, cons_n[b.index],
-                                           resid, dt, stage)
-            else:
-                raise NotImplementedError(
-                    f"implicit integration {ti} handled in ImplicitSolver")
-            new_prims[b.index] = prim
-            bl2, blinf, bloc = step_mod.residual_norms(resid)
+            bl2, blinf, bloc = step_mod.residual_norms(residuals[b.index])
             l2 = l2 + bl2
             linfs.append((blinf, bloc))
-        return new_prims, l2, linfs
+        return new_prims, l2, linfs, matrix_resid
+
+    # -- implicit path (reference: mgSolution::ImplicitUpdate) ---------------
+    def _implicit_update(self, prims, residuals, specrads, dts, cons_n,
+                         cons_nm1):
+        phys = self.phys
+        case = self.case
+        cfg = self.cfg
+        g = case.blocks[0].g
+
+        inv_diag, a_diag, bs = {}, {}, {}
+        dus = {}
+        for b in case.blocks:
+            dt = dts[b.index]
+            inv_flow, inv_turb = imp.build_diagonal(
+                phys, b, cfg, specrads[b.index], None, dt)
+            inv_diag[b.index] = (inv_flow, inv_turb)
+            a_diag[b.index] = 1.0 / inv_flow
+            bs[b.index] = imp.rhs_b(phys, b, cfg, prims[b.index],
+                                    residuals[b.index], cons_n[b.index],
+                                    cons_nm1[b.index], dt)
+            shape = (phys.neq,) + b.shape
+            du = jnp.zeros(shape, self.case.dtype)
+            if cfg["matrix_init"]:
+                x0 = imp.diag_mult(phys, inv_flow, inv_turb, bs[b.index])
+                P = (slice(None), slice(g, g + b.ni), slice(g, g + b.nj),
+                     slice(g, g + b.nk))
+                du = du.at[P].set(x0)
+            dus[b.index] = du
+
+        def swap(d):
+            for conn in case.connections:
+                d = step_mod.swap_connection_states(phys, case.blocks, d,
+                                                    conn, g)
+            return d
+
+        solver = cfg["matrix_solver"]
+        sweeps = cfg["matrix_sweeps"]
+        if solver in ("lusgs", "blusgs"):
+            for sweep in range(sweeps):
+                dus = swap(dus)
+                with_extra = sweep > 0 or cfg["matrix_init"]
+                for b in case.blocks:
+                    ctx = self.ictx[b.index]
+                    b_skew = imp.skew_from_physical(ctx, bs[b.index])
+                    if_skew = imp.skew_from_physical(ctx,
+                                                     inv_diag[b.index][0])
+                    dus[b.index] = imp.lusgs_forward(
+                        phys, cfg, b, ctx, prims[b.index], dus[b.index],
+                        b_skew, if_skew, None, with_extra)
+                dus = swap(dus)
+                for b in case.blocks:
+                    ctx = self.ictx[b.index]
+                    b_skew = imp.skew_from_physical(ctx, bs[b.index])
+                    if_skew = imp.skew_from_physical(ctx,
+                                                     inv_diag[b.index][0])
+                    dus[b.index] = imp.lusgs_backward(
+                        phys, cfg, b, ctx, prims[b.index], dus[b.index],
+                        b_skew, if_skew, None, with_extra)
+        elif solver in ("dplur", "bdplur"):
+            for sweep in range(sweeps):
+                dus = swap(dus)
+                for b in case.blocks:
+                    ctx = self.ictx[b.index]
+                    dus[b.index] = imp.dplur_sweep(
+                        phys, cfg, b, ctx, prims[b.index], dus[b.index],
+                        bs[b.index], *inv_diag[b.index])
+        else:
+            raise ValueError(f"unknown matrix solver {solver!r}")
+
+        dus = swap(dus)
+        mr_sum = jnp.zeros((), self.case.dtype)
+        mr_count = 0
+        new_prims = {}
+        for b in case.blocks:
+            ctx = self.ictx[b.index]
+            mr = imp.matrix_residual(phys, cfg, b, ctx, prims[b.index],
+                                     dus[b.index], bs[b.index],
+                                     a_diag[b.index], None)
+            mr_sum = mr_sum + (mr * mr).sum()
+            mr_count += mr.size
+            P = (slice(None), slice(g, g + b.ni), slice(g, g + b.nj),
+                 slice(g, g + b.nk))
+            new_prims[b.index] = step_mod.implicit_update(
+                phys, b, prims[b.index], dus[b.index][P])
+        return new_prims, mr_sum / mr_count
 
     def store_old_solution(self):
         """conserved state at time n (reference: mgSolution.cpp:103)."""
@@ -165,21 +277,31 @@ class Solver:
         sim_start = time.perf_counter()
         nl_iters = deck["nonlinearIterations"]
 
+        multilevel = self.cfg["multilevel_time"]
+        total_dof = self.case.total_cells * self.phys.neq
         for nn in range(iterations):
             iter_start = time.perf_counter()
             cfl = deck.cfl(nn)
-            cons_n = (self.store_old_solution()
-                      if self.cfg["time_integration"] == "rk4" else
-                      {b.index: 0.0 for b in self.case.blocks})
+            # store time-n (and initialize n-1) solution
+            # (reference: mgSolution.cpp:103-114)
+            self.cons_n = self.store_old_solution()
+            if multilevel and nn == 0 and self.iteration_start == 0:
+                self.cons_nm1 = dict(self.cons_n)
+            rk4 = self.cfg["time_integration"] == "rk4"
             for mm in range(nl_iters):
-                prims, l2, linfs = self._iterate(
-                    self.prims, cons_n, jnp.asarray(cfl, self.case.dtype),
-                    stage=mm)
+                prims, l2, linfs, matrix_resid = self._iterate(
+                    self.prims, self.cons_n, self.cons_nm1,
+                    jnp.asarray(cfl, self.case.dtype),
+                    stage=mm if rk4 else 0)
                 self.prims = prims
                 l2 = np.sqrt(np.asarray(l2))
                 linf_val, linf_loc = self._decode_linf(linfs)
+                mr = float(matrix_resid)
+                mr = np.sqrt(mr / total_dof) if mr > 0 else 0.0
                 self._write_residuals(nn + self.iteration_start, mm, cfl, l2,
-                                      linf_val, linf_loc)
+                                      linf_val, linf_loc, mr)
+                if multilevel and mm == nl_iters - 1:
+                    self.cons_nm1 = dict(self.cons_n)
             now = time.perf_counter()
             self.time_file.write(
                 f"{nn:<7d}{now - iter_start:<16.6e}{now - sim_start:<16.6e}\n")

@@ -19,6 +19,15 @@ EXPLICIT_CASES = {
                               4.0998e-01], {3}),
 }
 
+IMPLICIT_CASES = {
+    "subsonicCylinder": (100, [1.8751e-01, 2.6727e-01, 3.1217e-01, 7.9662e-01,
+                               1.8639e-01], {3}),
+    "multiblockCylinder": (100, [2.0529e-01, 3.4540e-01, 5.0153e-01,
+                                 1.0180e+00, 1.9997e-01], {3}),
+    "shockTube": (100, [4.8537e-01, 4.5855e-01, 1.0000e+00, 1.0000e+00,
+                        2.6434e-01], {2, 3}),
+}
+
 
 def run_and_compare(case, iters, goldens, ignored, tmp_path, tol=0.01):
     from aither_tpu.solver.driver import Solver
@@ -43,4 +52,12 @@ def run_and_compare(case, iters, goldens, ignored, tmp_path, tol=0.01):
 @pytest.mark.parametrize("case", sorted(EXPLICIT_CASES))
 def test_explicit_regression(case, tmp_path):
     iters, goldens, ignored = EXPLICIT_CASES[case]
+    run_and_compare(case, iters, goldens, ignored, tmp_path)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(CASES), reason="reference cases absent")
+@pytest.mark.parametrize("case", sorted(IMPLICIT_CASES))
+def test_implicit_regression(case, tmp_path):
+    iters, goldens, ignored = IMPLICIT_CASES[case]
     run_and_compare(case, iters, goldens, ignored, tmp_path)
