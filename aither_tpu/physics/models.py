@@ -334,7 +334,8 @@ class Physics:
         return self.nondim_scaling * self.conductivity(t, mf)
 
     def turb_prandtl(self):
-        return 0.9 if self.turb_model == "none" else 0.9
+        """(reference: turbulence.hpp:70, 462, 578)"""
+        return 8.0 / 9.0 if self.turb_model == "kOmegaWilcox2006" else 0.9
 
     def turb_min(self):
         """minimum allowed turbulence values (reference:

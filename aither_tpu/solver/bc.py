@@ -334,8 +334,48 @@ def pressure_outlet(phys: Physics, interior, norm, data: BCData, layer,
     return ghost
 
 
+def viscous_wall(phys: Physics, interior, norm, data: BCData, layer,
+                 wall_dist=None, nu_w=None):
+    """Low-Re viscous wall (reference: ghostStates.cpp:130-285); the wall-law
+    variant is layered on separately."""
+    vel_wall = jnp.asarray(data.velocity, interior.dtype).reshape(
+        (3,) + (1,) * (interior.ndim - 1))
+    vel_i = interior[phys.mx:phys.mx + 3]
+    ghost = interior.at[phys.mx:phys.mx + 3].set(2.0 * vel_wall - vel_i)
+
+    rho_i = st.rho(phys, interior)
+    mf = interior[:phys.ns] / rho_i[None]
+    t_i = st.temperature(phys, interior)
+
+    if data.is_isothermal:
+        t_ghost = 2.0 * data.temperature - t_i
+        rho_g = phys.density_tp(t_ghost, st.pressure(phys, ghost), mf)
+        ghost = ghost.at[:phys.ns].set(rho_g[None] * mf)
+    elif data.is_constant_heat_flux:
+        kappa = phys.effective_conductivity(t_i, mf)
+        t_ghost = t_i - data.heat_flux / kappa * 2.0 * wall_dist
+        rho_g = phys.density_tp(t_ghost, st.pressure(phys, ghost), mf)
+        ghost = ghost.at[:phys.ns].set(rho_g[None] * mf)
+    # adiabatic: numerical BCs for density/pressure
+
+    if phys.nturb:
+        scaling = phys.nondim_scaling
+        from .viscous import wall_beta
+        beta = wall_beta(phys.turb_model)
+        tke_g = -interior[phys.it]
+        w_wall = scaling * scaling * 60.0 * nu_w / (
+            wall_dist * wall_dist * beta)
+        omega_g = 2.0 * w_wall - interior[phys.it + 1]
+        if layer > 1:
+            omega_g = layer * omega_g - w_wall
+        ghost = ghost.at[phys.it].set(tke_g)
+        ghost = ghost.at[phys.it + 1].set(omega_g)
+    return ghost
+
+
 GHOST_FUNCS = {
     "slipWall": slip_wall,
+    "viscousWall": viscous_wall,
     "characteristic": characteristic,
     "inlet": inlet,
     "supersonicInflow": supersonic_inflow,

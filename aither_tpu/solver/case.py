@@ -232,6 +232,48 @@ def _swap_geom_one(geos, c, acceptor, donor, direction, g):
             arr_a[_idx(acceptor, ghost_idx[el], a_sl[0], a_sl[1])] = plane
 
 
+def viscous_wall_face_centers(deck: Deck, geos: list) -> np.ndarray:
+    """face centers of all viscousWall boundary faces across blocks
+    (reference: utility.cpp:310 GetViscousFaceCenters)."""
+    pts = []
+    for geo, bc in zip(geos, deck.bcs):
+        g = geo.g
+        dims = {"i": geo.ni, "j": geo.nj, "k": geo.nk}
+        for s in bc.surfaces:
+            if s.bc_type != "viscousWall":
+                continue
+            fc = geo.fc(s.direction)
+            idx = [None, None, None]
+            rng = s.ranges()
+            for a, dd in enumerate("ijk"):
+                if dd == s.direction:
+                    idx[a] = g + s.face_index
+                else:
+                    lo, hi = rng[a]
+                    idx[a] = slice(g + lo, g + hi)
+            pts.append(fc[tuple(idx)].reshape(-1, 3))
+    if not pts:
+        return np.zeros((0, 3))
+    return np.concatenate(pts, axis=0)
+
+
+def compute_wall_distance(geo: BlockGeometry, wall_pts: np.ndarray):
+    """nearest wall-face distance for every padded cell center (reference:
+    procBlock.cpp:6030 CalcWallDistance via kdtree NN; exact brute force
+    here, chunked)."""
+    if wall_pts.shape[0] == 0:
+        geo.wall_dist = np.full(geo.vol.shape, 1.0e10)
+        return
+    centers = geo.center.reshape(-1, 3)
+    out = np.empty(centers.shape[0])
+    chunk = max(1, int(2e7) // max(1, wall_pts.shape[0]))
+    for s in range(0, centers.shape[0], chunk):
+        d2 = ((centers[s:s + chunk, None, :]
+               - wall_pts[None, :, :]) ** 2).sum(axis=-1)
+        out[s:s + chunk] = np.sqrt(d2.min(axis=1))
+    geo.wall_dist = out.reshape(geo.vol.shape)
+
+
 def build_case(deck_path: str, dtype=None) -> Case:
     import jax.numpy as jnp
     deck = parse_deck(deck_path).finalize()
@@ -255,6 +297,11 @@ def build_case(deck_path: str, dtype=None) -> Case:
     for b, (nodes, bc) in enumerate(zip(grids, deck.bcs)):
         geos.append(build_block_geometry(nodes, bc, g, finalize=True))
     swap_geometry(geos, conns, g)
+
+    if deck.is_viscous:
+        wall_pts = viscous_wall_face_centers(deck, geos)
+        for geo in geos:
+            compute_wall_distance(geo, wall_pts)
 
     blocks = []
     for b, geo in enumerate(geos):

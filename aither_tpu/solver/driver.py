@@ -49,6 +49,13 @@ class Solver:
             matrix_init=deck.matrix_requires_initialization(),
             viscous=deck.is_viscous,
             implicit=deck.is_implicit,
+            turbulent=deck.is_turbulent,
+            turb_model=deck["turbulenceModel"],
+            viscous_recon=deck["viscousFaceReconstruction"],
+            viscous_cfl_coeff=deck.viscous_cfl_coefficient(),
+            diffusion=deck["diffusionModel"],
+            schmidt=deck["schmidtNumber"],
+            turb_schmidt=0.7,
         )
         self.prims = {b.index: jnp.asarray(b.prim0) for b in self.case.blocks}
         if deck.is_implicit:
@@ -66,20 +73,26 @@ class Solver:
         phys = self.phys
         case = self.case
         prims = step_mod.apply_all_bcs(phys, case, prims)
-        residuals, specrads, dts = {}, {}, {}
+        residuals, specrads, diags, dts = {}, {}, {}, {}
+        auxs = {}
         for b in case.blocks:
-            resid, specrad = step_mod.inviscid_residual(
-                phys, self.cfg, b, prims[b.index])
+            (resid, sr_f, sr_t, dg_f, dg_t, _, prim_v,
+             aux) = step_mod.full_residual(phys, self.cfg, b, prims[b.index])
+            prims[b.index] = prim_v  # includes viscous-wall ghosts
+            auxs[b.index] = aux
             residuals[b.index] = resid
-            specrads[b.index] = specrad
-            dts[b.index] = step_mod.local_dt(self.cfg, b.geom, specrad, b.g,
+            sr_max = jnp.maximum(sr_f, sr_t) if phys.nturb else sr_f
+            specrads[b.index] = sr_max
+            diags[b.index] = (dg_f, dg_t)
+            dts[b.index] = step_mod.local_dt(self.cfg, b.geom, sr_max, b.g,
                                              (b.ni, b.nj, b.nk), cfl)
 
         matrix_resid = jnp.zeros((), self.case.dtype)
         new_prims = {}
         if self.cfg["implicit"]:
             new_prims, matrix_resid = self._implicit_update(
-                prims, residuals, specrads, dts, cons_n, cons_nm1)
+                prims, residuals, specrads, diags, dts, cons_n, cons_nm1,
+                auxs)
         else:
             for b in case.blocks:
                 prim = prims[b.index]
@@ -102,8 +115,8 @@ class Solver:
         return new_prims, l2, linfs, matrix_resid
 
     # -- implicit path (reference: mgSolution::ImplicitUpdate) ---------------
-    def _implicit_update(self, prims, residuals, specrads, dts, cons_n,
-                         cons_nm1):
+    def _implicit_update(self, prims, residuals, specrads, diags, dts,
+                         cons_n, cons_nm1, auxs):
         phys = self.phys
         case = self.case
         cfg = self.cfg
@@ -114,9 +127,11 @@ class Solver:
         for b in case.blocks:
             dt = dts[b.index]
             inv_flow, inv_turb = imp.build_diagonal(
-                phys, b, cfg, specrads[b.index], None, dt)
+                phys, b, cfg, diags[b.index][0], diags[b.index][1],
+                specrads[b.index], dt)
             inv_diag[b.index] = (inv_flow, inv_turb)
-            a_diag[b.index] = 1.0 / inv_flow
+            a_diag[b.index] = (1.0 / inv_flow,
+                               None if inv_turb is None else 1.0 / inv_turb)
             bs[b.index] = imp.rhs_b(phys, b, cfg, prims[b.index],
                                     residuals[b.index], cons_n[b.index],
                                     cons_nm1[b.index], dt)
@@ -137,6 +152,13 @@ class Solver:
 
         solver = cfg["matrix_solver"]
         sweeps = cfg["matrix_sweeps"]
+        def inv_skews(b):
+            ctx = self.ictx[b.index]
+            if_skew = imp.skew_from_physical(ctx, inv_diag[b.index][0])
+            it_skew = (imp.skew_from_physical(ctx, inv_diag[b.index][1])
+                       if inv_diag[b.index][1] is not None else None)
+            return if_skew, it_skew
+
         if solver in ("lusgs", "blusgs"):
             for sweep in range(sweeps):
                 dus = swap(dus)
@@ -144,20 +166,20 @@ class Solver:
                 for b in case.blocks:
                     ctx = self.ictx[b.index]
                     b_skew = imp.skew_from_physical(ctx, bs[b.index])
-                    if_skew = imp.skew_from_physical(ctx,
-                                                     inv_diag[b.index][0])
+                    if_skew, it_skew = inv_skews(b)
                     dus[b.index] = imp.lusgs_forward(
                         phys, cfg, b, ctx, prims[b.index], dus[b.index],
-                        b_skew, if_skew, None, with_extra)
+                        b_skew, if_skew, it_skew, with_extra,
+                        aux=auxs[b.index])
                 dus = swap(dus)
                 for b in case.blocks:
                     ctx = self.ictx[b.index]
                     b_skew = imp.skew_from_physical(ctx, bs[b.index])
-                    if_skew = imp.skew_from_physical(ctx,
-                                                     inv_diag[b.index][0])
+                    if_skew, it_skew = inv_skews(b)
                     dus[b.index] = imp.lusgs_backward(
                         phys, cfg, b, ctx, prims[b.index], dus[b.index],
-                        b_skew, if_skew, None, with_extra)
+                        b_skew, if_skew, it_skew, with_extra,
+                        aux=auxs[b.index])
         elif solver in ("dplur", "bdplur"):
             for sweep in range(sweeps):
                 dus = swap(dus)
@@ -165,7 +187,8 @@ class Solver:
                     ctx = self.ictx[b.index]
                     dus[b.index] = imp.dplur_sweep(
                         phys, cfg, b, ctx, prims[b.index], dus[b.index],
-                        bs[b.index], *inv_diag[b.index])
+                        bs[b.index], *inv_diag[b.index],
+                        aux=auxs[b.index])
         else:
             raise ValueError(f"unknown matrix solver {solver!r}")
 
@@ -177,7 +200,8 @@ class Solver:
             ctx = self.ictx[b.index]
             mr = imp.matrix_residual(phys, cfg, b, ctx, prims[b.index],
                                      dus[b.index], bs[b.index],
-                                     a_diag[b.index], None)
+                                     a_diag[b.index][0], a_diag[b.index][1],
+                                     aux=auxs[b.index])
             mr_sum = mr_sum + (mr * mr).sum()
             mr_count += mr.size
             P = (slice(None), slice(g, g + b.ni), slice(g, g + b.nj),

@@ -62,7 +62,7 @@ def _prandtl(phys, t, mf):
 
 
 def offdiagonal_scalar(phys: Physics, cfg, q_nb, du_nb, n, mag, positive,
-                       dist=None, mu=None, mut=None):
+                       dist=None, mu=None, mut=None, f1=None):
     """Scalar Rusanov off-diagonal contribution of one neighbor."""
     q_up = st.update_prim_with_cons(phys, q_nb, du_nb)
     dflux = 0.5 * mag[None] * (physical_flux(phys, q_up, n)
@@ -73,12 +73,23 @@ def offdiagonal_scalar(phys: Physics, cfg, q_nb, du_nb, n, mag, positive,
                               cfg.get("viscous", False))
     term = sr[None] * du_nb
     if phys.nturb:
-        # turbulence face spectral radius: |v·n|*|A|/2 advective part
+        # turbulence inviscid face spectral radius (turbulence.cpp:112-120)
         vel = st.velocity(phys, q_nb)
-        sr_t = 0.5 * mag * jnp.abs((vel * n).sum(axis=0))
+        vn = (vel * n).sum(axis=0)
+        sr_t = (0.5 * mag * jnp.abs(vn + jnp.abs(vn)) if positive
+                else 0.5 * mag * jnp.abs(vn - jnp.abs(vn)))
         if cfg.get("viscous", False) and mut is not None:
-            # diffusion part added at the viscous milestone
-            pass
+            from .viscous import sigma_k
+            r = st.rho(phys, q_nb)
+            model = cfg["turb_model"]
+            if model == "kOmegaWilcox2006":
+                mutx = r * q_nb[phys.it] / q_nb[phys.it + 1]
+                sk = sigma_k(model, 1.0)
+            else:
+                mutx = mut
+                sk = sigma_k(model, f1)
+            sr_t = sr_t + phys.nondim_scaling * (mag / dist) / r * (
+                mu + sk * mutx)
         term = term.at[phys.it:].set(sr_t[None] * du_nb[phys.it:])
     return dflux + term if positive else dflux - term
 
@@ -229,7 +240,8 @@ def _viscous_offdiag_kw(phys, cfg, block, d, nb, face, aux):
     dist = jnp.abs((c2c * nvec).sum(axis=0))
     mu = aux["mu"][nb] if aux else None
     mut = aux["mut"][nb] if (aux and "mut" in aux) else None
-    return dict(dist=dist, mu=mu, mut=mut)
+    f1 = aux["f1"][nb] if (aux and "f1" in aux) else None
+    return dict(dist=dist, mu=mu, mut=mut, f1=f1)
 
 
 # ---------------------------------------------------------------------------
@@ -264,7 +276,8 @@ def rhs_b(phys: Physics, block, cfg, prim, resid, cons_n, cons_nm1, dt,
     return b
 
 
-def build_diagonal(phys: Physics, block, cfg, specrad_flow, specrad_turb, dt):
+def build_diagonal(phys: Physics, block, cfg, diag_flow, diag_turb, sr_max,
+                   dt):
     """A = a*relax + (1+ζ)V/(dtθ) [+ max(specrad)/dualCFL]; returns (inv_flow,
     inv_turb) (reference: linearSolver.cpp:127-160)."""
     g = block.g
@@ -273,16 +286,12 @@ def build_diagonal(phys: Physics, block, cfg, specrad_flow, specrad_turb, dt):
     theta, zeta = cfg["theta"], cfg["zeta"]
     diag_vol_time = vol * (1.0 + zeta) / (dt * theta)
     if cfg["dual_time_cfl"] > 0.0:
-        mx = specrad_flow
-        if specrad_turb is not None:
-            mx = jnp.maximum(specrad_flow, specrad_turb)
-        diag_vol_time = diag_vol_time + mx / cfg["dual_time_cfl"]
+        diag_vol_time = diag_vol_time + sr_max / cfg["dual_time_cfl"]
     relax = cfg["matrix_relaxation"]
-    a_flow = specrad_flow * relax + diag_vol_time
-    inv_flow = 1.0 / a_flow
+    inv_flow = 1.0 / (diag_flow * relax + diag_vol_time)
     inv_turb = None
-    if specrad_turb is not None:
-        inv_turb = 1.0 / (specrad_turb * relax + diag_vol_time)
+    if phys.nturb:
+        inv_turb = 1.0 / (diag_turb * relax + diag_vol_time)
     return inv_flow, inv_turb
 
 
@@ -363,6 +372,7 @@ def _skewed_viscous_kw(phys, cfg, block, ctx, d, si, sj, sk, fi, fj, fk, aux):
     out = dict(dist=dist)
     out["mu"] = aux["mu"][si, sj, sk] if aux else None
     out["mut"] = aux["mut"][si, sj, sk] if (aux and "mut" in aux) else None
+    out["f1"] = aux["f1"][si, sj, sk] if (aux and "f1" in aux) else None
     return out
 
 
@@ -415,12 +425,10 @@ def lusgs_forward(phys: Physics, cfg, block, ctx, prim, du_padded, b_skew,
             if cfg.get("viscous", False):
                 kw["dist"] = jax.lax.dynamic_index_in_dim(
                     inp["dist"], t, 0, False)
-                kw["mu"] = (jax.lax.dynamic_index_in_dim(inp["mu"], t, 0,
-                                                         False)
-                            if inp.get("mu") is not None else None)
-                kw["mut"] = (jax.lax.dynamic_index_in_dim(inp["mut"], t, 0,
-                                                          False)
-                             if inp.get("mut") is not None else None)
+                for key in ("mu", "mut", "f1"):
+                    kw[key] = (jax.lax.dynamic_index_in_dim(inp[key], t, 0,
+                                                            False)
+                               if inp.get(key) is not None else None)
             contrib = offdiagonal_scalar(phys, cfg, q_nb, du_nb, n, mag,
                                          True, **kw)
             L = L + jnp.where(mask[None], contrib, 0.0)
@@ -481,12 +489,10 @@ def lusgs_backward(phys: Physics, cfg, block, ctx, prim, du_padded, b_skew,
             if cfg.get("viscous", False):
                 kw["dist"] = jax.lax.dynamic_index_in_dim(
                     inp["dist"], t, 0, False)
-                kw["mu"] = (jax.lax.dynamic_index_in_dim(inp["mu"], t, 0,
-                                                         False)
-                            if inp.get("mu") is not None else None)
-                kw["mut"] = (jax.lax.dynamic_index_in_dim(inp["mut"], t, 0,
-                                                          False)
-                             if inp.get("mut") is not None else None)
+                for key in ("mu", "mut", "f1"):
+                    kw[key] = (jax.lax.dynamic_index_in_dim(inp[key], t, 0,
+                                                            False)
+                               if inp.get(key) is not None else None)
             contrib = offdiagonal_scalar(phys, cfg, q_nb, du_nb, n, mag,
                                          False, **kw)
             U = U + jnp.where(mask[None], contrib, 0.0)

@@ -62,11 +62,13 @@ def boundary_normal(geom, spec, g, n):
     return -nvec if spec.lower else nvec
 
 
-def apply_boundary_ghosts(phys: Physics, block, prim, viscous_pass=False):
+def apply_boundary_ghosts(phys: Physics, block, prim, viscous_pass=False,
+                          mu_all=None):
     """Assign ghost states for all non-connection surfaces
     (reference: procBlock.cpp:2449-2563).  For the inviscid pass
     viscousWall degrades to slipWall; the viscous pass re-does viscousWall
-    surfaces with the full wall model."""
+    surfaces with the full wall model (interior = mirrored cell,
+    wall-distance and wall kinematic viscosity from the adjacent cell)."""
     g = block.g
     dims = {"i": block.ni, "j": block.nj, "k": block.nk}
     for layer in range(1, g + 1):
@@ -82,10 +84,21 @@ def apply_boundary_ghosts(phys: Physics, block, prim, viscous_pass=False):
             ax = 1 + spec.axis
             gcell, icell, acell = _cell_indices(g, n, spec.lower, layer)
             norm = boundary_normal(block.geom, spec, g, n)
-            src = icell if bct == "slipWall" else acell
+            kw = {}
+            if bct == "viscousWall":
+                src = icell
+                apl = _plane(prim, ax, acell, spec.patch)
+                adj = prim[apl]
+                kw["wall_dist"] = block.geom["wall_dist"][
+                    _plane(block.geom["wall_dist"], ax - 1, acell, spec.patch)]
+                kw["nu_w"] = mu_all[
+                    _plane(mu_all, ax - 1, acell, spec.patch)] / st.rho(
+                        phys, adj)
+            else:
+                src = icell if bct == "slipWall" else acell
             interior = prim[_plane(prim, ax, src, spec.patch)]
             ghost = bc_mod.ghost_state(phys, bct, interior, norm, spec.data,
-                                       layer)
+                                       layer, **kw)
             prim = prim.at[_plane(prim, ax, gcell, spec.patch)].set(ghost)
     return prim
 
@@ -114,10 +127,12 @@ def _surface_bc_grid(block, d: str, lower: bool):
     return out, types
 
 
-def apply_edge_ghosts(phys: Physics, block, prim):
-    """Corner/edge ghost states (reference: procBlock.cpp:2565-2804):
-    wall surfaces extend their reflection into the corner; otherwise equal
-    layers average and unequal layers copy from the deeper direction."""
+def apply_edge_ghosts(phys: Physics, block, prim, viscous_pass=False,
+                      mu_all=None):
+    """Corner/edge ghost states (reference: procBlock.cpp:2565-2804 inviscid,
+    :2806-3049 viscous): wall surfaces extend their reflection into the
+    corner; otherwise equal layers average and unequal layers copy from the
+    deeper direction.  The viscous pass treats only viscousWall corners."""
     g = block.g
     dims = {"i": block.ni, "j": block.nj, "k": block.nk}
 
@@ -155,22 +170,14 @@ def apply_edge_ghosts(phys: Physics, block, prim):
                         s_d2 = prim[sl(p2, c3)]   # toward direction 2
                         s_d3 = prim[sl(c2, p3)]   # toward direction 3
 
-                        # wall masks along the line: does the d2 (resp. d3)
-                        # surface at this corner carry a wall bc?
-                        w2 = _wall_mask(block, d2, not upper2, d, upper3,
-                                        layer3)
-                        w3 = _wall_mask(block, d3, not upper3, d, upper2,
-                                        layer2)
-
-                        # wall extensions: reflect across the wall face
                         norm2 = _edge_face_normal(block, d, d2, d3, upper2,
                                                   upper3, c3, which=2)
                         norm3 = _edge_face_normal(block, d, d2, d3, upper2,
                                                   upper3, c2, which=3)
-                        ghost_w2 = bc_mod.slip_wall(phys, s_d2, norm2, None,
-                                                    layer2)
-                        ghost_w3 = bc_mod.slip_wall(phys, s_d3, norm3, None,
-                                                    layer3)
+                        ghost_w2 = bc_mod.slip_wall(phys, s_d2, norm2,
+                                                    None, layer2)
+                        ghost_w3 = bc_mod.slip_wall(phys, s_d3, norm3,
+                                                    None, layer3)
 
                         if layer2 == layer3:
                             normal = 0.5 * (s_d2 + s_d3)
@@ -179,25 +186,63 @@ def apply_edge_ghosts(phys: Physics, block, prim):
                         else:
                             normal = s_d2
 
-                        ghost = jnp.where((w2 & ~w3)[None], ghost_w2,
-                                          jnp.where((~w2 & w3)[None],
-                                                    ghost_w3, normal))
+                        if viscous_pass:
+                            # reference viscous edge pass
+                            # (procBlock.cpp:2925-2960): a slipWall surface
+                            # extends its reflection over a mixed corner;
+                            # viscousWall/viscousWall corners use the
+                            # average/copy rules; others are untouched
+                            s2 = _wall_mask(block, d2, not upper2, d, upper3,
+                                            ("slipWall",))
+                            s3 = _wall_mask(block, d3, not upper3, d, upper2,
+                                            ("slipWall",))
+                            v2 = _wall_mask(block, d2, not upper2, d, upper3,
+                                            ("viscousWall",))
+                            v3 = _wall_mask(block, d3, not upper3, d, upper2,
+                                            ("viscousWall",))
+                            ghost = jnp.where(
+                                (s2 & ~s3)[None], ghost_w2,
+                                jnp.where((~s2 & s3)[None], ghost_w3,
+                                          jnp.where((v2 & v3)[None], normal,
+                                                    prim[sl(c2, c3)])))
+                        else:
+                            # inviscid pass: slipWall OR viscousWall counts
+                            # as a wall and extends a slip reflection
+                            # (procBlock.cpp:2674-2710)
+                            w2 = _wall_mask(block, d2, not upper2, d, upper3,
+                                            ("slipWall", "viscousWall"))
+                            w3 = _wall_mask(block, d3, not upper3, d, upper2,
+                                            ("slipWall", "viscousWall"))
+                            ghost = jnp.where(
+                                (w2 & ~w3)[None], ghost_w2,
+                                jnp.where((~w2 & w3)[None], ghost_w3, normal))
                         prim = prim.at[sl(c2, c3)].set(ghost)
     return prim
 
 
+def _wall_data(block, dface: str, lower: bool):
+    """BCData of the first viscousWall surface on a block face side."""
+    for spec in block.surfaces:
+        if (spec.bc_type == "viscousWall" and spec.direction == dface
+                and spec.lower == lower):
+            return spec.data
+    from .bc import BCData
+    return BCData()
+
+
 def _wall_mask(block, dface: str, lower: bool, dline: str, upper_other: bool,
-               layer_other: int):
+               wall_types=("slipWall", "viscousWall")):
     """Boolean mask over the edge line: True where the bounding surface in
     `dface` direction is a wall at the corner position."""
-    wall, _ = _surface_bc_grid(block, dface, lower)
+    _, types = _surface_bc_grid(block, dface, lower)
     taxes = [a for a in "ijk" if a != dface]
     li = taxes.index(dline)
     oi = 1 - li
-    other_dim = wall.shape[oi]
+    other_dim = types.shape[oi]
     oidx = other_dim - 1 if upper_other else 0
-    line_vals = np.take(wall, oidx, axis=oi)
-    return jnp.asarray(line_vals.astype(bool))
+    line_vals = np.take(types, oidx, axis=oi)
+    mask = np.isin(line_vals.astype(str), wall_types)
+    return jnp.asarray(mask)
 
 
 def _edge_face_normal(block, d, d2, d3, upper2, upper3, other_idx, which):
@@ -315,13 +360,14 @@ def apply_all_bcs(phys: Physics, case, prims):
 
 
 def inviscid_residual(phys: Physics, deck_cfg, block, prim):
-    """Net inviscid outflux per physical cell + inviscid spectral radius
-    (reference: procBlock.cpp:384-824 CalcInvFluxI/J/K)."""
+    """Net inviscid outflux per physical cell + inviscid spectral radii
+    (flow & turbulence) (reference: procBlock.cpp:384-824)."""
     g = block.g
     geom = block.geom
     dims = dict(i=block.ni, j=block.nj, k=block.nk)
     resid = jnp.zeros((phys.neq, block.ni, block.nj, block.nk), prim.dtype)
     specrad = jnp.zeros((block.ni, block.nj, block.nk), prim.dtype)
+    specrad_turb = jnp.zeros((block.ni, block.nj, block.nk), prim.dtype)
 
     P = [slice(g, g + dims[d]) for d in "ijk"]
 
@@ -361,9 +407,76 @@ def inviscid_residual(phys: Physics, deck_cfg, block, prim):
         fmag = 0.5 * (mag[tuple(lo[1:])] + mag[tuple(hi[1:])])
         vel = st.velocity(phys, cell)
         a = st.sos(phys, cell)
-        specrad = specrad + (jnp.abs((vel * navg).sum(axis=0)) + a) * fmag
+        vn = jnp.abs((vel * navg).sum(axis=0))
+        specrad = specrad + (vn + a) * fmag
+        if phys.nturb:
+            # turbulence inviscid spectral radius (turbulence.cpp:100-110)
+            specrad_turb = specrad_turb + vn * fmag
 
-    return resid, specrad
+    return resid, specrad, specrad_turb
+
+
+def full_residual(phys: Physics, cfg, block, prim):
+    """Residual + spectral radii + diagonal terms for one block:
+    inviscid fluxes, viscous fluxes, turbulence sources
+    (reference: procBlock.cpp:6111-6147 CalcResidualNoSource + :5956
+    CalcSrcTerms)."""
+    from . import viscous as vis
+
+    resid, sr_flow, sr_turb = inviscid_residual(phys, cfg, block, prim)
+    diag_flow = sr_flow
+    diag_turb = sr_turb
+    cellavg = None
+    aux = None
+
+    if cfg.get("viscous"):
+        # viscousWall ghosts + aux variables, then viscous fluxes
+        t_all = phys.temperature(prim[phys.ie], prim[:phys.ns])
+        mf_all = prim[:phys.ns] / prim[:phys.ns].sum(axis=0)[None]
+        mu_all = phys.viscosity(t_all, mf_all)
+        prim = apply_boundary_ghosts(phys, block, prim, viscous_pass=True,
+                                     mu_all=mu_all)
+        prim = apply_edge_ghosts(phys, block, prim, viscous_pass=True,
+                                 mu_all=mu_all)
+        t_all = phys.temperature(prim[phys.ie], prim[:phys.ns])
+        mf_all = prim[:phys.ns] / prim[:phys.ns].sum(axis=0)[None]
+        mu_all = phys.viscosity(t_all, mf_all)
+
+        rv, vsr_f, vsr_t, vdiag_f, vdiag_t, cellavg = vis.viscous_residual(
+            phys, cfg, block, prim, t_all, mu_all)
+        resid = resid + rv
+        sr_flow = sr_flow + vsr_f
+        sr_turb = sr_turb + vsr_t
+        diag_flow = diag_flow + vdiag_f
+        diag_turb = diag_turb + vdiag_t
+
+        # padded aux arrays for implicit off-diagonal Jacobians
+        g = block.g
+        P = tuple(slice(g, g + n) for n in (block.ni, block.nj, block.nk))
+        mut_pad = jnp.zeros_like(mu_all).at[P].set(cellavg["mut"])
+        f1_pad = jnp.zeros_like(mu_all).at[P].set(cellavg["f1"])
+        aux = {"mu": mu_all, "mut": mut_pad, "f1": f1_pad}
+
+    if phys.nturb and cfg.get("viscous"):
+        g = block.g
+        P = tuple(slice(g, g + n) for n in (block.ni, block.nj, block.nk))
+        cell_q = prim[(slice(None),) + P]
+        vol = block.geom["vol"][P]
+        width = jnp.maximum(jnp.maximum(block.geom["width_i"][P],
+                                        block.geom["width_j"][P]),
+                            block.geom["width_k"][P])
+        src_k, src_w, src_rad = vis.turb_source(
+            phys, cfg["turb_model"], cell_q, cellavg["vel"], cellavg["tke"],
+            cellavg["omega"], cellavg["mut"], cellavg["f1"], cellavg["f2"],
+            width)
+        # residual -= src * vol (sources on the RHS; procBlock.cpp:6020)
+        resid = resid.at[phys.it].add(-src_k * vol)
+        resid = resid.at[phys.it + 1].add(-src_w * vol)
+        # spectral radius / diagonal: subtract (negative) source jacobian
+        sr_turb = sr_turb - src_rad * vol
+        diag_turb = diag_turb - src_rad * vol
+
+    return resid, sr_flow, sr_turb, diag_flow, diag_turb, cellavg, prim, aux
 
 
 def local_dt(deck_cfg, geom, specrad, g, dims, cfl):
