@@ -218,7 +218,7 @@ def find_connections(bcs: list[BlockBC], grids: list[np.ndarray],
             raise ValueError(
                 f"no connection match for block {b1} surface {s1}")
 
-    _set_border_flags(conns)
+    _set_border_flags(conns, bcs)
     return conns
 
 
@@ -230,43 +230,57 @@ def _periodic_data(bc_states, tag):
     raise KeyError(tag)
 
 
-def _set_border_flags(conns: list[Connection]):
-    """Flag patch edges that border another connection on the same block
-    (reference: boundaryConditions.cpp:976-1012): corner ghosts there are
-    filled by the neighboring connection's swap instead."""
-    sides = []
-    for c in conns:
-        sides.append((c, "first", c.first))
-        sides.append((c, "second", c.second))
+def _borders_surface(side: PatchSide, bcs: list[BlockBC]):
+    """[d1Start, d1End, d2Start, d2End] True where the patch abuts another
+    surface on the same block face (reference:
+    boundaryConditions.cpp:193-260 BordersSurface): the swap skips the
+    ghost-extended corners on those sides."""
+    f = [False, False, False, False]
+    for other in bcs[side.block].surfaces:
+        if other.direction != side.direction or other.is_lower != side.lower \
+                or other.face_index != side.const_face:
+            continue
+        rng = other.ranges()
+        o_d1 = rng[AX[side.d1]]
+        o_d2 = rng[AX[side.d2]]
+        if o_d1 == side.d1_range and o_d2 == side.d2_range:
+            continue  # the patch itself
+        # border along d1
+        if side.d1_range[0] == o_d1[1]:
+            f[0] = True
+        if side.d1_range[1] == o_d1[0]:
+            f[1] = True
+        # border along d2
+        if side.d2_range[0] == o_d2[1]:
+            f[2] = True
+        if side.d2_range[1] == o_d2[0]:
+            f[3] = True
+    return tuple(f)
 
-    def flags_for(side: PatchSide):
-        f = [False, False, False, False]
-        for _, _, other in sides:
-            if other is side or other.block != side.block:
-                continue
-            # does `other` touch this patch's d1 start/end or d2 start/end?
-            if other.direction == side.d1:
-                if other.const_face == side.d1_range[0]:
-                    f[0] = True
-                if other.const_face == side.d1_range[1]:
-                    f[1] = True
-            if other.direction == side.d2:
-                if other.const_face == side.d2_range[0]:
-                    f[2] = True
-                if other.const_face == side.d2_range[1]:
-                    f[3] = True
-        return tuple(f)
 
+def _set_border_flags(conns: list[Connection], bcs: list[BlockBC]):
     for c in conns:
-        c.border_first = flags_for(c.first)
-        c.border_second = flags_for(c.second)
+        c.border_first = _borders_surface(c.first, bcs)
+        c.border_second = _borders_surface(c.second, bcs)
 
 
 # ---------------------------------------------------------------------------
 # slab transforms
 
 
-def orient_to_first(donor, orientation: int, axis1: int, axis2: int):
+def _noswap_flipsets(second_dir: str):
+    """orientation sets that reverse d1/d2 in the no-swap branch.
+
+    GetSwapLoc (boundaryConditions.cpp:3006-3180) uses {6,8} on d1 and
+    {3,8} on d2 when the second patch is i-normal, but {3,8} on d1 and
+    {6,8} on d2 for j/k-normal patches."""
+    if second_dir == "i":
+        return (6, 8), (3, 8)
+    return (3, 8), (6, 8)
+
+
+def orient_to_first(donor, orientation: int, axis1: int, axis2: int,
+                    second_dir: str = "i"):
     """Reorient a donor slab (indexed in the second patch's d1/d2 axes) into
     the first patch's frame.  axis1/axis2 are the array axes of the donor
     corresponding to the *second* patch's d1/d2."""
@@ -275,23 +289,21 @@ def orient_to_first(donor, orientation: int, axis1: int, axis2: int):
         # first.d1 -> second.d2 (reversed for 5,7); first.d2 -> second.d1
         # (reversed for 4,7)
         if orientation in (5, 7):
-            donor = np.flip(donor, axis=axis2) if isinstance(donor, np.ndarray) \
-                else _jflip(donor, axis2)
+            donor = _jflip(donor, axis2)
         if orientation in (4, 7):
-            donor = np.flip(donor, axis=axis1) if isinstance(donor, np.ndarray) \
-                else _jflip(donor, axis1)
+            donor = _jflip(donor, axis1)
         donor = _swapaxes(donor, axis1, axis2)
     else:
-        if orientation in (6, 8):
-            donor = np.flip(donor, axis=axis1) if isinstance(donor, np.ndarray) \
-                else _jflip(donor, axis1)
-        if orientation in (3, 8):
-            donor = np.flip(donor, axis=axis2) if isinstance(donor, np.ndarray) \
-                else _jflip(donor, axis2)
+        f1, f2 = _noswap_flipsets(second_dir)
+        if orientation in f1:
+            donor = _jflip(donor, axis1)
+        if orientation in f2:
+            donor = _jflip(donor, axis2)
     return donor
 
 
-def orient_to_second(donor, orientation: int, axis1: int, axis2: int):
+def orient_to_second(donor, orientation: int, axis1: int, axis2: int,
+                     second_dir: str = "i"):
     """Inverse of orient_to_first: donor indexed in the first patch's d1/d2
     axes, reoriented into the second patch's frame."""
     swap = orientation in (2, 4, 5, 7)
@@ -303,9 +315,10 @@ def orient_to_second(donor, orientation: int, axis1: int, axis2: int):
         if orientation in (4, 7):
             donor = _jflip(donor, axis1)
     else:
-        if orientation in (6, 8):
+        f1, f2 = _noswap_flipsets(second_dir)
+        if orientation in f1:
             donor = _jflip(donor, axis1)
-        if orientation in (3, 8):
+        if orientation in f2:
             donor = _jflip(donor, axis2)
     return donor
 

@@ -126,6 +126,27 @@ def read_restart(path):
                 blocks_nm1=out_nm1)
 
 
+def cons_from_restart(rec_block, phys, deck, mu_ref=1.0):
+    """dimensional conserved record (time n-1) -> nondim conserved array."""
+    a, r = deck.a_ref, deck.r_ref
+    nv, ni, nj, nk = rec_block.shape
+    ns = phys.ns
+    cons = np.zeros((phys.neq, ni, nj, nk))
+    rho = rec_block[0] / r
+    base = 5 + (2 if phys.nturb else 0)
+    for s in range(ns):
+        mf = rec_block[base + s] if ns > 1 else np.ones_like(rho)
+        cons[s] = rho * mf
+    cons[phys.mx] = rec_block[1] / (a * r)
+    cons[phys.my] = rec_block[2] / (a * r)
+    cons[phys.mz] = rec_block[3] / (a * r)
+    cons[phys.ie] = rec_block[4] / (r * a * a)
+    if phys.nturb:
+        cons[phys.it] = rec_block[5] / (a * a * r)
+        cons[phys.it + 1] = rec_block[6] * mu_ref / (a * a * r * r)
+    return cons
+
+
 def prim_from_restart(rec_block, phys, deck, mu_ref=1.0):
     """dimensional restart variables -> nondim primitive (neq, ni, nj, nk)."""
     a, r = deck.a_ref, deck.r_ref

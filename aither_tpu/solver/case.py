@@ -173,7 +173,7 @@ def _patch_slices(side, g, extend: int):
             slice(g + d2lo - extend, g + d2hi + extend))
 
 
-def _swap_geom_one(geos, c, acceptor, donor, direction, g):
+def _swap_geom_one(geos, c, acceptor, donor, direction, g, pairs=None):
     from ..grid.connections import orient_to_first, orient_to_second, AX as CAX
     ga = geos[acceptor.block]
     gd = geos[donor.block]
@@ -181,7 +181,16 @@ def _swap_geom_one(geos, c, acceptor, donor, direction, g):
     n_d = {"i": gd.ni, "j": gd.nj, "k": gd.nk}[donor.direction]
     ghost_idx = _slab_indexer(acceptor, g, n_a, True, g)
     donor_idx = _slab_indexer(donor, g, n_d, False, g)
-    a_sl = _patch_slices(acceptor, g, g)
+    # trim the ghost-extended corners on sides where the patch borders
+    # another surface on the same block face: those ghosts belong to that
+    # surface's BC assignment (reference: multiArray3d.hpp:899-913 adjS/adjE
+    # via the connection border flags / PutGeomSlice zero-volume protocol)
+    border = (c.border_first if direction == "to_first" else c.border_second)
+    ea = [0 if border[n] else g for n in range(4)]
+    a_sl = (slice(g + acceptor.d1_range[0] - ea[0],
+                  g + acceptor.d1_range[1] + ea[1]),
+            slice(g + acceptor.d2_range[0] - ea[2],
+                  g + acceptor.d2_range[1] + ea[3]))
     d_sl = _patch_slices(donor, g, g)
     orient = (orient_to_first if direction == "to_first" else orient_to_second)
 
@@ -208,14 +217,20 @@ def _swap_geom_one(geos, c, acceptor, donor, direction, g):
     # from donor-normal width, acceptor-d1 width from donor-d1 (or d2 when
     # the orientation swaps in-plane axes), etc.
     swap12 = c.orientation in (2, 4, 5, 7)
-    width_map = {
-        acceptor.direction: donor.direction,
-        acceptor.d1: donor.d2 if swap12 else donor.d1,
-        acceptor.d2: donor.d1 if swap12 else donor.d2,
-    }
-    pairs = [("vol", "vol"), ("center", "center")]
-    for d_acc, d_don in width_map.items():
-        pairs.append((f"width_{d_acc}", f"width_{d_don}"))
+    if pairs is None:
+        width_map = {
+            acceptor.direction: donor.direction,
+            acceptor.d1: donor.d2 if swap12 else donor.d1,
+            acceptor.d2: donor.d1 if swap12 else donor.d2,
+        }
+        pairs = [("vol", "vol"), ("center", "center")]
+        for d_acc, d_don in width_map.items():
+            pairs.append((f"width_{d_acc}", f"width_{d_don}"))
+
+    full1 = acceptor.d1_range[1] - acceptor.d1_range[0] + 2 * g
+    lo1, hi1 = g - ea[0], full1 - (g - ea[1])
+    full2 = acceptor.d2_range[1] - acceptor.d2_range[0] + 2 * g
+    lo2, hi2 = g - ea[2], full2 - (g - ea[3])
 
     for el in range(g):
         for name_a, name_d in pairs:
@@ -225,8 +240,9 @@ def _swap_geom_one(geos, c, acceptor, donor, direction, g):
                 continue
             plane = take(arr_d, donor_idx[el], d_sl[0], d_sl[1], donor)
             # plane axes canonical (d1_donor, d2_donor, ...); reorient into
-            # the acceptor patch's frame
-            plane = orient(plane, c.orientation, 0, 1)
+            # the acceptor patch's frame, then crop to the trimmed extent
+            plane = orient(plane, c.orientation, 0, 1, c.second.direction)
+            plane = plane[lo1:hi1, lo2:hi2]
             if not _d1_first(acceptor):
                 plane = np.swapaxes(plane, 0, 1)
             arr_a[_idx(acceptor, ghost_idx[el], a_sl[0], a_sl[1])] = plane
@@ -257,21 +273,52 @@ def viscous_wall_face_centers(deck: Deck, geos: list) -> np.ndarray:
     return np.concatenate(pts, axis=0)
 
 
-def compute_wall_distance(geo: BlockGeometry, wall_pts: np.ndarray):
-    """nearest wall-face distance for every padded cell center (reference:
-    procBlock.cpp:6030 CalcWallDistance via kdtree NN; exact brute force
-    here, chunked)."""
+def compute_wall_distance(geo: BlockGeometry, bc, wall_pts: np.ndarray):
+    """Wall distance (reference: procBlock.cpp:6030-6110 CalcWallDistance):
+    exact nearest viscous-face distance for physical cells; non-edge ghosts
+    take the NEGATIVE mirrored value across viscousWall boundaries and the
+    boundary-adjacent value elsewhere (connection ghosts are overwritten by
+    the halo swap afterwards)."""
+    g = geo.g
+    geo.wall_dist = np.full(geo.vol.shape, 1.0e10)
     if wall_pts.shape[0] == 0:
-        geo.wall_dist = np.full(geo.vol.shape, 1.0e10)
         return
-    centers = geo.center.reshape(-1, 3)
+    P = geo.phys_slice()
+    centers = geo.center[P].reshape(-1, 3)
     out = np.empty(centers.shape[0])
     chunk = max(1, int(2e7) // max(1, wall_pts.shape[0]))
     for s in range(0, centers.shape[0], chunk):
         d2 = ((centers[s:s + chunk, None, :]
                - wall_pts[None, :, :]) ** 2).sum(axis=-1)
         out[s:s + chunk] = np.sqrt(d2.min(axis=1))
-    geo.wall_dist = out.reshape(geo.vol.shape)
+    geo.wall_dist[P] = out.reshape((geo.ni, geo.nj, geo.nk))
+
+    dims = {"i": geo.ni, "j": geo.nj, "k": geo.nk}
+    for surf in bc.surfaces:
+        d = surf.direction
+        ax = AX[d]
+        n = dims[d]
+        rng = surf.ranges()
+        patch = [None, None, None]
+        for a in range(3):
+            if a != ax:
+                lo, hi = rng[a]
+                patch[a] = slice(g + lo, g + hi)
+        for layer in range(1, g + 1):
+            idx = list(patch)
+            if surf.is_lower:
+                gcell, mirror, acell = g - layer, g + layer - 1, g
+            else:
+                gcell = g + n + layer - 1
+                mirror, acell = g + n - layer, g + n - 1
+            idx[ax] = gcell
+            src = list(patch)
+            if surf.bc_type == "viscousWall":
+                src[ax] = mirror
+                geo.wall_dist[tuple(idx)] = -geo.wall_dist[tuple(src)]
+            else:
+                src[ax] = acell
+                geo.wall_dist[tuple(idx)] = geo.wall_dist[tuple(src)]
 
 
 def build_case(deck_path: str, dtype=None) -> Case:
@@ -290,18 +337,30 @@ def build_case(deck_path: str, dtype=None) -> Case:
 
     conns = conn_mod.find_connections(deck.bcs, grids, deck.bc_states)
 
-    # boundary ghost pass + edge pass + widths per block, then overwrite
-    # interblock ghost slabs (vol/center/widths incl. corner extensions)
-    # with donor values — the swap runs last so donor-side widths are final
+    # boundary ghost pass -> exact interblock ghost geometry from donor
+    # nodes -> edge pass + widths (matching the reference ordering:
+    # AssignGhostCellsGeom -> SwapGeomSlice -> AssignGhostCellsGeomEdge)
+    from ..grid.ghost_nodes import fill_interblock_geometry
+    from ..grid.geometry import finalize_block_geometry
     geos = []
     for b, (nodes, bc) in enumerate(zip(grids, deck.bcs)):
-        geos.append(build_block_geometry(nodes, bc, g, finalize=True))
-    swap_geometry(geos, conns, g)
+        geos.append(build_block_geometry(nodes, bc, g, finalize=False))
+    fill_interblock_geometry(geos, conns, grids, g)
+    for geo in geos:
+        finalize_block_geometry(geo)
 
     if deck.is_viscous:
         wall_pts = viscous_wall_face_centers(deck, geos)
-        for geo in geos:
-            compute_wall_distance(geo, wall_pts)
+        for geo, bc in zip(geos, deck.bcs):
+            compute_wall_distance(geo, bc, wall_pts)
+        # connection ghosts take the donor's interior wall distance
+        # (reference: gridLevel::SwapWallDist)
+        for c in conns:
+            for acceptor, donor, swap_dir in (
+                    (c.first, c.second, "to_first"),
+                    (c.second, c.first, "to_second")):
+                _swap_geom_one(geos, c, acceptor, donor, swap_dir, g,
+                               pairs=[("wall_dist", "wall_dist")])
 
     blocks = []
     for b, geo in enumerate(geos):

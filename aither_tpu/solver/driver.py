@@ -20,7 +20,8 @@ EPS = 1.0e-30
 
 
 class Solver:
-    def __init__(self, deck_path: str, dtype=None, workdir=None):
+    def __init__(self, deck_path: str, dtype=None, workdir=None,
+                 restart_path=None):
         self.case = build_case(deck_path, dtype=dtype)
         self.deck = self.case.deck
         self.phys = self.case.phys
@@ -58,15 +59,24 @@ class Solver:
             turb_schmidt=0.7,
         )
         self.prims = {b.index: jnp.asarray(b.prim0) for b in self.case.blocks}
+        self.is_restart = restart_path is not None
+        self.l2_first = None
+        self.iteration_start = 0
+        if self.is_restart:
+            self._load_restart(restart_path)
         if deck.is_implicit:
             self.ictx = {b.index: imp.build_implicit_context(b)
                          for b in self.case.blocks}
         self._iterate = jax.jit(self._iteration, static_argnames=("stage",))
-        self.l2_first = None
-        self.iteration_start = 0
         self.cons_n = self.store_old_solution()
         self.cons_nm1 = (dict(self.cons_n) if deck.is_multilevel_in_time
                          else {b.index: 0.0 for b in self.case.blocks})
+        if self.is_restart and getattr(self, "_restart_nm1", None) is not None:
+            from ..io.restart import cons_from_restart
+            for b in self.case.blocks:
+                self.cons_nm1[b.index] = jnp.asarray(cons_from_restart(
+                    self._restart_nm1[b.index], self.phys, self.deck,
+                    mu_ref=self.phys.mu_mix_ref), self.case.dtype)
 
     # -- one nonlinear iteration (jitted) -----------------------------------
     def _iteration(self, prims, cons_n, cons_nm1, cfl, stage: int):
@@ -210,6 +220,74 @@ class Solver:
                 phys, b, prims[b.index], dus[b.index][P])
         return new_prims, mr_sum / mr_count
 
+    # -- restart / output -----------------------------------------------------
+    def _interior(self, prim, b):
+        g = b.g
+        return prim[:, g:g + b.ni, g:g + b.nj, g:g + b.nk]
+
+    def _load_restart(self, path):
+        """Resume from a reference-compatible .rst file
+        (reference: output.cpp:756-900 ReadRestart)."""
+        from ..io.restart import read_restart, prim_from_restart
+        rec = read_restart(path)
+        self.iteration_start = rec["iteration"]
+        self.l2_first = np.asarray(rec["l2_first"]).copy()
+        for b in self.case.blocks:
+            prim = prim_from_restart(rec["blocks"][b.index], self.phys,
+                                     self.deck, mu_ref=self.phys.mu_mix_ref)
+            g = b.g
+            P = (slice(None), slice(g, g + b.ni), slice(g, g + b.nj),
+                 slice(g, g + b.nk))
+            self.prims[b.index] = self.prims[b.index].at[P].set(
+                jnp.asarray(prim, self.case.dtype))
+        if rec["blocks_nm1"] is not None and self.deck.is_multilevel_in_time:
+            from ..io.restart import prim_from_restart as _pfr
+            self._restart_nm1 = rec["blocks_nm1"]
+        else:
+            self._restart_nm1 = None
+
+    def write_restart(self, iteration):
+        from ..io.restart import write_restart
+        prims = [np.asarray(self._interior(self.prims[b.index], b))
+                 for b in self.case.blocks]
+        cons_nm1 = None
+        if self.deck.is_multilevel_in_time:
+            cons_nm1 = [np.asarray(self.cons_nm1[b.index])
+                        for b in self.case.blocks]
+        l2_first = (self.l2_first if self.l2_first is not None
+                    else np.zeros(self.phys.neq))
+        path = f"{self.sim_root}_{iteration}.rst"
+        write_restart(path, self.deck, self.phys, iteration, l2_first, prims,
+                      cons_nm1, mu_ref=self.phys.mu_mix_ref)
+
+    def write_output(self, iteration):
+        from ..io import output as out_mod
+        deck = self.deck
+        prims = [np.asarray(self._interior(self.prims[b.index], b))
+                 for b in self.case.blocks]
+        auxs = []
+        for b in self.case.blocks:
+            g = b.g
+            P = tuple(slice(g, g + n) for n in (b.ni, b.nj, b.nk))
+            auxs.append({"wall_dist": np.asarray(b.geom["wall_dist"][P])})
+        names = deck.output_variables
+        out_mod.write_fun_file(f"{self.sim_root}_{iteration}.fun", names,
+                               prims, self.phys, deck, auxs)
+        out_mod.write_meta(f"{self.sim_root}_center.p3d", self.sim_root,
+                           deck["gridName"], iteration, names)
+
+    def write_grid_center(self):
+        from ..io import output as out_mod
+        centers = []
+        for b in self.case.blocks:
+            g = b.g
+            P = tuple(slice(g, g + n) for n in (b.ni, b.nj, b.nk))
+            c = np.asarray(b.geom["center"])[(slice(None),) + P]
+            centers.append(np.moveaxis(c, 0, -1))
+        grid_root = os.path.join(self.workdir, self.deck["gridName"])
+        out_mod.write_cell_center(f"{grid_root}_center.xyz", centers,
+                                  self.deck.l_ref)
+
     def store_old_solution(self):
         """conserved state at time n (reference: mgSolution.cpp:103)."""
         phys = self.phys
@@ -249,9 +327,9 @@ class Solver:
         """First-iteration normalization, re-maxed over the first 5 steps
         (reference: output.cpp:1028-1046)."""
         ns = self.phys.ns
-        if nn == 0 and mm == 0 and self.iteration_start == 0:
+        if nn == 0 and mm == 0 and not self.is_restart:
             self.l2_first = l2.copy()
-        elif nn < 5 and mm == 0 and self.iteration_start == 0:
+        elif nn < 5 and mm == 0 and not self.is_restart:
             if l2[:ns].sum() > self.l2_first[:ns].sum():
                 self.l2_first[:ns] = l2[:ns]
             self.l2_first[ns:] = np.maximum(self.l2_first[ns:], l2[ns:])
@@ -294,12 +372,15 @@ class Solver:
         return v, (eqn + 1, b.parent, i, j, k)
 
     # -- main loop -----------------------------------------------------------
-    def run(self, iterations=None):
+    def run(self, iterations=None, write_files=False):
         deck = self.deck
         iterations = iterations or deck["iterations"]
-        self._open_logs()
+        self._open_logs(restart=self.is_restart)
         sim_start = time.perf_counter()
         nl_iters = deck["nonlinearIterations"]
+        if write_files:
+            self.write_grid_center()
+            self.write_output(self.iteration_start)
 
         multilevel = self.cfg["multilevel_time"]
         total_dof = self.case.total_cells * self.phys.neq
@@ -326,6 +407,13 @@ class Solver:
                                       linf_val, linf_loc, mr)
                 if multilevel and mm == nl_iters - 1:
                     self.cons_nm1 = dict(self.cons_n)
+            it_global = nn + self.iteration_start
+            if write_files and deck["outputFrequency"] > 0 \
+                    and (nn + 1) % deck["outputFrequency"] == 0:
+                self.write_output(it_global + 1)
+            if write_files and deck["restartFrequency"] > 0 \
+                    and (nn + 1) % deck["restartFrequency"] == 0:
+                self.write_restart(it_global + 1)
             now = time.perf_counter()
             self.time_file.write(
                 f"{nn:<7d}{now - iter_start:<16.6e}{now - sim_start:<16.6e}\n")

@@ -313,7 +313,8 @@ def swap_connection_states(phys: Physics, blocks, prims, conn, g):
             if rem.index(AX[donor.d1]) != 0:
                 plane = jnp.swapaxes(plane, 1, 2)
             orient = orient_to_first if to_first else orient_to_second
-            plane = orient(plane, conn.orientation, 1, 2)
+            plane = orient(plane, conn.orientation, 1, 2,
+                           conn.second.direction)
             planes.append(plane)
 
         prim_a = out[acceptor.block]

@@ -28,6 +28,18 @@ IMPLICIT_CASES = {
                         2.6434e-01], {2, 3}),
 }
 
+# single-processor goldens (regressionTests.py per-proc variants)
+VISCOUS_CASES = {
+    "viscousFlatPlate": (100, [7.4673e-02, 2.4711e-01, 3.8960e-02, 1.0000e+00,
+                               7.7683e-02], {3}),
+    "couette": (100, [1.1816e-01, 5.0725e-01, 6.9807e-02, 5.5916e-01,
+                      2.3024e-01], {3}),
+    "turbFlatPlate": (20, [2.2309e-01, 2.9862e-01, 1.0000e+00, 3.2376e-01,
+                           2.1910e-01, 2.5208e-07, 3.3009e-06], {2}),
+    "rae2822": (20, [5.5618e-01, 6.6813e-01, 5.3620e-01, 1.0000e+00,
+                     4.9726e-01, 2.5769e-09, 3.4032e-10], {3}),
+}
+
 
 def run_and_compare(case, iters, goldens, ignored, tmp_path, tol=0.01):
     from aither_tpu.solver.driver import Solver
@@ -61,3 +73,51 @@ def test_explicit_regression(case, tmp_path):
 def test_implicit_regression(case, tmp_path):
     iters, goldens, ignored = IMPLICIT_CASES[case]
     run_and_compare(case, iters, goldens, ignored, tmp_path)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(CASES), reason="reference cases absent")
+@pytest.mark.parametrize("case", sorted(VISCOUS_CASES))
+def test_viscous_regression(case, tmp_path):
+    iters, goldens, ignored = VISCOUS_CASES[case]
+    run_and_compare(case, iters, goldens, ignored, tmp_path)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(CASES), reason="reference cases absent")
+def test_uniform_flow_orientations(tmp_path):
+    """All 8 interblock orientations: uniform flow must stay uniform
+    (reference: regressionTests.py:488-495, pass = runs without error)."""
+    from aither_tpu.solver.driver import Solver
+    deck = os.path.join(CASES, "uniformFlow", "uniformFlow.inp")
+    solver = Solver(deck, workdir=str(tmp_path))
+    solver.run(iterations=10)
+    with open(os.path.join(str(tmp_path), "uniformFlow.resid")) as f:
+        last = f.readlines()[-1].split()
+    # Max-Res column: uniform flow stays uniform to roundoff
+    assert float(last[-2]) < 1e-10
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(CASES), reason="reference cases absent")
+def test_shocktube_restart_roundtrip(tmp_path):
+    """50 iterations + restart + 50 more must hit the 100-iteration goldens
+    (reference: regressionTests.py:292-299)."""
+    import shutil
+    from aither_tpu.solver.driver import Solver
+    for f in ("shockTube.inp", "shockTube.xyz"):
+        shutil.copy(os.path.join(CASES, "shockTube", f), str(tmp_path))
+    deck = os.path.join(str(tmp_path), "shockTube.inp")
+    solver = Solver(deck, workdir=str(tmp_path))
+    solver.run(iterations=50, write_files=True)
+    rst = os.path.join(str(tmp_path), "shockTube_50.rst")
+    assert os.path.isfile(rst)
+    solver2 = Solver(deck, workdir=str(tmp_path), restart_path=rst)
+    solver2.run(iterations=50)
+    with open(os.path.join(str(tmp_path), "shockTube.resid")) as f:
+        last = f.readlines()[-1].split()
+    goldens = [4.8537e-01, 4.5855e-01, None, None, 2.6434e-01]
+    resids = [float(v) for v in last[3:8]]
+    for got, want in zip(resids, goldens):
+        if want is not None:
+            assert got == pytest.approx(want, rel=0.01)
