@@ -50,6 +50,7 @@ class Solver:
             matrix_init=deck.matrix_requires_initialization(),
             viscous=deck.is_viscous,
             implicit=deck.is_implicit,
+            block_matrix=deck.is_block_matrix,
             turbulent=deck.is_turbulent,
             turb_model=deck["turbulenceModel"],
             viscous_recon=deck["viscousFaceReconstruction"],
@@ -136,12 +137,21 @@ class Solver:
         dus = {}
         for b in case.blocks:
             dt = dts[b.index]
-            inv_flow, inv_turb = imp.build_diagonal(
-                phys, b, cfg, diags[b.index][0], diags[b.index][1],
-                specrads[b.index], dt)
-            inv_diag[b.index] = (inv_flow, inv_turb)
-            a_diag[b.index] = (1.0 / inv_flow,
-                               None if inv_turb is None else 1.0 / inv_turb)
+            if cfg["block_matrix"]:
+                aux = auxs[b.index]
+                (af, at), (inv_flow, inv_turb) = imp.build_block_diagonal(
+                    phys, b, cfg, aux["diag_flow_blk"], aux["diag_turb_blk"],
+                    specrads[b.index], dt)
+                inv_diag[b.index] = (inv_flow, inv_turb)
+                a_diag[b.index] = (af, at)
+            else:
+                inv_flow, inv_turb = imp.build_diagonal(
+                    phys, b, cfg, diags[b.index][0], diags[b.index][1],
+                    specrads[b.index], dt)
+                inv_diag[b.index] = (inv_flow, inv_turb)
+                a_diag[b.index] = (1.0 / inv_flow,
+                                   None if inv_turb is None
+                                   else 1.0 / inv_turb)
             bs[b.index] = imp.rhs_b(phys, b, cfg, prims[b.index],
                                     residuals[b.index], cons_n[b.index],
                                     cons_nm1[b.index], dt)
@@ -164,8 +174,10 @@ class Solver:
         sweeps = cfg["matrix_sweeps"]
         def inv_skews(b):
             ctx = self.ictx[b.index]
-            if_skew = imp.skew_from_physical(ctx, inv_diag[b.index][0])
-            it_skew = (imp.skew_from_physical(ctx, inv_diag[b.index][1])
+            fn = (imp.skew_from_physical_blk if cfg["block_matrix"]
+                  else imp.skew_from_physical)
+            if_skew = fn(ctx, inv_diag[b.index][0])
+            it_skew = (fn(ctx, inv_diag[b.index][1])
                        if inv_diag[b.index][1] is not None else None)
             return if_skew, it_skew
 
@@ -213,7 +225,11 @@ class Solver:
                                      a_diag[b.index][0], a_diag[b.index][1],
                                      aux=auxs[b.index])
             mr_sum = mr_sum + (mr * mr).sum()
-            mr_count += mr.size
+            # reference divides by the padded array size (ghost entries are
+            # zero): mgSolution.cpp:199-207 accumulates over the full
+            # multiarray3d
+            mr_count += (phys.neq * (b.ni + 2 * g) * (b.nj + 2 * g)
+                         * (b.nk + 2 * g))
             P = (slice(None), slice(g, g + b.ni), slice(g, g + b.nj),
                  slice(g, g + b.nk))
             new_prims[b.index] = step_mod.implicit_update(

@@ -94,6 +94,32 @@ def offdiagonal_scalar(phys: Physics, cfg, q_nb, du_nb, n, mag, positive,
     return dflux + term if positive else dflux - term
 
 
+def offdiagonal_block(phys: Physics, cfg, q_nb, du_nb, n, mag, positive,
+                      dist=None, mu=None, mut=None, f1=None, vgrad=None):
+    """Block Rusanov off-diagonal: (J_rusanov(±) ∓ J_TSL)·du
+    (reference: fluxJacobian.cpp RusanovBlockOffDiagonal)."""
+    from . import block_jac as bj
+    jf, jt = bj.rusanov_flux_jacobian(phys, q_nb, n, mag, positive)
+    if cfg.get("viscous"):
+        vf, vt = bj.approx_tsl_jacobian(phys, cfg, q_nb, mu, mut, f1, n, mag,
+                                        dist, vgrad, left=positive)
+        if positive:
+            jf = jf - vf
+            jt = None if jt is None else jt - vt
+        else:
+            jf = jf + vf
+            jt = None if jt is None else jt + vt
+    return bj.block_matvec(jf, jt, du_nb, phys)
+
+
+def offdiagonal(phys: Physics, cfg, q_nb, du_nb, n, mag, positive, **kw):
+    if cfg.get("block_matrix"):
+        return offdiagonal_block(phys, cfg, q_nb, du_nb, n, mag, positive,
+                                 **kw)
+    kw.pop("vgrad", None)
+    return offdiagonal_scalar(phys, cfg, q_nb, du_nb, n, mag, positive, **kw)
+
+
 # ---------------------------------------------------------------------------
 # static per-block implicit context
 
@@ -223,8 +249,8 @@ def offdiag_sum(phys: Physics, cfg, block, ctx, prim, du, side: str,
         kw = {}
         if cfg.get("viscous", False):
             kw = _viscous_offdiag_kw(phys, cfg, block, d, nb, face, aux)
-        contrib = offdiagonal_scalar(phys, cfg, q_nb, du_nb, nvec, mag,
-                                     positive, **kw)
+        contrib = offdiagonal(phys, cfg, q_nb, du_nb, nvec, mag,
+                              positive, **kw)
         mask = (ctx.mask_lower if positive else ctx.mask_upper)[d]
         total = total + jnp.where(jnp.asarray(mask)[None], contrib, 0.0)
     return total
@@ -241,7 +267,10 @@ def _viscous_offdiag_kw(phys, cfg, block, d, nb, face, aux):
     mu = aux["mu"][nb] if aux else None
     mut = aux["mut"][nb] if (aux and "mut" in aux) else None
     f1 = aux["f1"][nb] if (aux and "f1" in aux) else None
-    return dict(dist=dist, mu=mu, mut=mut, f1=f1)
+    out = dict(dist=dist, mu=mu, mut=mut, f1=f1)
+    if aux and "vgrad" in aux:
+        out["vgrad"] = aux["vgrad"][(slice(None), slice(None)) + nb]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -296,10 +325,50 @@ def build_diagonal(phys: Physics, block, cfg, diag_flow, diag_turb, sr_max,
 
 
 def diag_mult(phys: Physics, inv_flow, inv_turb, x):
+    """apply the (inverted) diagonal: scalar pair or block matrices,
+    detected by rank."""
+    if inv_flow.ndim == x.ndim + 1:  # block (..., N, N)
+        from . import block_jac as bj
+        return bj.block_matvec(inv_flow, inv_turb, x, phys)
     out = x * inv_flow[None]
     if phys.nturb and inv_turb is not None:
         out = out.at[phys.it:].set(x[phys.it:] * inv_turb[None])
     return out
+
+
+def build_block_diagonal(phys: Physics, block, cfg, diag_flow_blk,
+                         diag_turb_blk, sr_max, dt):
+    """Block A = relax*accumulated + ((1+ζ)V/(dtθ) [+ sr/dualCFL])·I, then
+    batched inverse (reference: linearSolver.cpp:127-177)."""
+    import jax.numpy as jnp
+    g = block.g
+    P = tuple(slice(g, g + n) for n in (block.ni, block.nj, block.nk))
+    vol = block.geom["vol"][P]
+    theta, zeta = cfg["theta"], cfg["zeta"]
+    dvt = vol * (1.0 + zeta) / (dt * theta)
+    if cfg["dual_time_cfl"] > 0.0:
+        dvt = dvt + sr_max / cfg["dual_time_cfl"]
+    relax = cfg["matrix_relaxation"]
+    N = phys.ns + 4
+    a_flow = diag_flow_blk * relax + dvt[..., None, None] * jnp.eye(
+        N, dtype=diag_flow_blk.dtype)
+    a_turb = None
+    if phys.nturb and diag_turb_blk is not None:
+        a_turb = diag_turb_blk * relax + dvt[..., None, None] * jnp.eye(
+            2, dtype=diag_flow_blk.dtype)
+    inv_flow = jnp.linalg.inv(a_flow)
+    inv_turb = None if a_turb is None else jnp.linalg.inv(a_turb)
+    return (a_flow, a_turb), (inv_flow, inv_turb)
+
+
+def skew_from_physical_blk(ctx, mat):
+    """(ni,nj,nk,N,N) -> (P,J2,K2,N,N) in skew slots (identity elsewhere so
+    inverse application at invalid slots is benign)."""
+    import jax.numpy as jnp
+    N = mat.shape[-1]
+    shape = ctx.skew_valid.shape
+    out = jnp.zeros(shape + (N, N), mat.dtype) + jnp.eye(N, dtype=mat.dtype)
+    return out.at[ctx.unskew_p, ctx.unskew_j, ctx.unskew_k].set(mat)
 
 
 # ---------------------------------------------------------------------------
@@ -373,6 +442,8 @@ def _skewed_viscous_kw(phys, cfg, block, ctx, d, si, sj, sk, fi, fj, fk, aux):
     out["mu"] = aux["mu"][si, sj, sk] if aux else None
     out["mut"] = aux["mut"][si, sj, sk] if (aux and "mut" in aux) else None
     out["f1"] = aux["f1"][si, sj, sk] if (aux and "f1" in aux) else None
+    if aux and "vgrad" in aux:
+        out["vgrad"] = aux["vgrad"][:, :, si, sj, sk]
     return out
 
 
@@ -429,8 +500,11 @@ def lusgs_forward(phys: Physics, cfg, block, ctx, prim, du_padded, b_skew,
                     kw[key] = (jax.lax.dynamic_index_in_dim(inp[key], t, 0,
                                                             False)
                                if inp.get(key) is not None else None)
-            contrib = offdiagonal_scalar(phys, cfg, q_nb, du_nb, n, mag,
-                                         True, **kw)
+                if inp.get("vgrad") is not None:
+                    kw["vgrad"] = jax.lax.dynamic_index_in_dim(
+                        inp["vgrad"], t, 2, False)
+            contrib = offdiagonal(phys, cfg, q_nb, du_nb, n, mag,
+                                  True, **kw)
             L = L + jnp.where(mask[None], contrib, 0.0)
 
         bt = jax.lax.dynamic_index_in_dim(b_skew, t, 1, False)
@@ -493,8 +567,11 @@ def lusgs_backward(phys: Physics, cfg, block, ctx, prim, du_padded, b_skew,
                     kw[key] = (jax.lax.dynamic_index_in_dim(inp[key], t, 0,
                                                             False)
                                if inp.get(key) is not None else None)
-            contrib = offdiagonal_scalar(phys, cfg, q_nb, du_nb, n, mag,
-                                         False, **kw)
+                if inp.get("vgrad") is not None:
+                    kw["vgrad"] = jax.lax.dynamic_index_in_dim(
+                        inp["vgrad"], t, 2, False)
+            contrib = offdiagonal(phys, cfg, q_nb, du_nb, n, mag,
+                                  False, **kw)
             U = U + jnp.where(mask[None], contrib, 0.0)
 
         ift = jax.lax.dynamic_index_in_dim(inv_flow_skew, t, 0, False)
@@ -548,9 +625,13 @@ def matrix_residual(phys: Physics, cfg, block, ctx, prim, du_padded, b,
     x = du_padded[P]
     L = offdiag_sum(phys, cfg, block, ctx, prim, du_padded, "lower", aux)
     U = offdiag_sum(phys, cfg, block, ctx, prim, du_padded, "upper", aux)
-    ax = x * a_flow[None]
-    if phys.nturb and a_turb is not None:
-        ax = ax.at[phys.it:].set(x[phys.it:] * a_turb[None])
+    if a_flow.ndim == x.ndim + 1:  # block diagonal
+        from . import block_jac as bj
+        ax = bj.block_matvec(a_flow, a_turb, x, phys)
+    else:
+        ax = x * a_flow[None]
+        if phys.nturb and a_turb is not None:
+            ax = ax.at[phys.it:].set(x[phys.it:] * a_turb[None])
     axmb = ax - (L - U) - b
     if forcing is not None:
         return forcing - axmb

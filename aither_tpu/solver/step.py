@@ -369,6 +369,14 @@ def inviscid_residual(phys: Physics, deck_cfg, block, prim):
     resid = jnp.zeros((phys.neq, block.ni, block.nj, block.nk), prim.dtype)
     specrad = jnp.zeros((block.ni, block.nj, block.nk), prim.dtype)
     specrad_turb = jnp.zeros((block.ni, block.nj, block.nk), prim.dtype)
+    diag_flow_blk = diag_turb_blk = 0.0
+    if deck_cfg.get("block_matrix"):
+        N = phys.ns + 4
+        diag_flow_blk = jnp.zeros(
+            (block.ni, block.nj, block.nk, N, N), prim.dtype)
+        if phys.nturb:
+            diag_turb_blk = jnp.zeros(
+                (block.ni, block.nj, block.nk, 2, 2), prim.dtype)
 
     P = [slice(g, g + dims[d]) for d in "ijk"]
 
@@ -399,6 +407,20 @@ def inviscid_residual(phys: Physics, deck_cfg, block, prim):
         hi[ax] = slice(1, n + 1)
         resid = resid + flux[tuple(hi)] - flux[tuple(lo)]
 
+        if deck_cfg.get("block_matrix"):
+            # block-diagonal accumulation at reconstructed face states
+            # (reference: procBlock.cpp:450-495)
+            from . import block_jac as bj
+            jf_pos, jt_pos = bj.rusanov_flux_jacobian(phys, ql, nvec, mag,
+                                                      True)
+            jf_neg, jt_neg = bj.rusanov_flux_jacobian(phys, qr, nvec, mag,
+                                                      False)
+            flo3 = tuple(lo[1:])
+            fhi3 = tuple(hi[1:])
+            diag_flow_blk = diag_flow_blk + jf_pos[fhi3] - jf_neg[flo3]
+            if phys.nturb:
+                diag_turb_blk = diag_turb_blk + jt_pos[fhi3] - jt_neg[flo3]
+
         # inviscid cell spectral radius (spectralRadius.hpp:43-64)
         cell = prim[tuple([slice(None)] + P)]
         nl = nvec[tuple(lo)]
@@ -414,7 +436,7 @@ def inviscid_residual(phys: Physics, deck_cfg, block, prim):
             # turbulence inviscid spectral radius (turbulence.cpp:100-110)
             specrad_turb = specrad_turb + vn * fmag
 
-    return resid, specrad, specrad_turb
+    return resid, specrad, specrad_turb, diag_flow_blk, diag_turb_blk
 
 
 def full_residual(phys: Physics, cfg, block, prim):
@@ -424,7 +446,8 @@ def full_residual(phys: Physics, cfg, block, prim):
     CalcSrcTerms)."""
     from . import viscous as vis
 
-    resid, sr_flow, sr_turb = inviscid_residual(phys, cfg, block, prim)
+    (resid, sr_flow, sr_turb, diag_flow_blk,
+     diag_turb_blk) = inviscid_residual(phys, cfg, block, prim)
     diag_flow = sr_flow
     diag_turb = sr_turb
     cellavg = None
@@ -443,13 +466,18 @@ def full_residual(phys: Physics, cfg, block, prim):
         mf_all = prim[:phys.ns] / prim[:phys.ns].sum(axis=0)[None]
         mu_all = phys.viscosity(t_all, mf_all)
 
-        rv, vsr_f, vsr_t, vdiag_f, vdiag_t, cellavg = vis.viscous_residual(
-            phys, cfg, block, prim, t_all, mu_all)
+        (rv, vsr_f, vsr_t, vdiag_f, vdiag_t, cellavg, vblk_f,
+         vblk_t) = vis.viscous_residual(phys, cfg, block, prim, t_all,
+                                        mu_all)
         resid = resid + rv
         sr_flow = sr_flow + vsr_f
         sr_turb = sr_turb + vsr_t
         diag_flow = diag_flow + vdiag_f
         diag_turb = diag_turb + vdiag_t
+        if cfg.get("block_matrix"):
+            diag_flow_blk = diag_flow_blk + vblk_f
+            if phys.nturb:
+                diag_turb_blk = diag_turb_blk + vblk_t
 
         # padded aux arrays for implicit off-diagonal Jacobians
         g = block.g
@@ -476,6 +504,40 @@ def full_residual(phys: Physics, cfg, block, prim):
         # spectral radius / diagonal: subtract (negative) source jacobian
         sr_turb = sr_turb - src_rad * vol
         diag_turb = diag_turb - src_rad * vol
+        if cfg.get("block_matrix"):
+            from . import block_jac as bj
+            from .viscous import WILCOX, SST
+            model = cfg["turb_model"]
+            f1c = cellavg["f1"]
+            if model == "kOmegaWilcox2006":
+                # beta from FBeta already folded into src_rad path; use the
+                # TurbSrcJac form with the same beta as CalcTurbSrc
+                beta = vis.wilcox_beta(phys, cell_q, cellavg["vel"])
+            else:
+                beta = f1c * SST["beta1"] + (1.0 - f1c) * SST["beta2"]
+            phi_des = 1.0
+            if model == "sstdes":
+                from .viscous import DES
+                cdes = f1c * DES["cdes1"] + (1.0 - f1c) * DES["cdes2"]
+                tls = jnp.sqrt(cell_q[phys.it]) / (
+                    SST["beta_star"] * cell_q[phys.it + 1]) \
+                    * phys.nondim_scaling
+                phi_des = jnp.maximum(
+                    (1.0 - cellavg["f2"]) * tls / (cdes * width), 1.0)
+            sjac = bj.turb_src_jacobian(phys, cfg, cell_q, vol, beta, phi_des)
+            diag_turb_blk = diag_turb_blk - sjac
+
+    if cfg.get("block_matrix"):
+        aux = dict(aux or {})
+        aux["diag_flow_blk"] = diag_flow_blk
+        aux["diag_turb_blk"] = diag_turb_blk if phys.nturb else None
+        if cellavg is not None:
+            g2 = block.g
+            vg_pad = jnp.zeros((3, 3) + prim.shape[1:], prim.dtype)
+            P2 = tuple(slice(g2, g2 + n) for n in (block.ni, block.nj,
+                                                   block.nk))
+            aux["vgrad"] = vg_pad.at[(slice(None), slice(None)) + P2].set(
+                cellavg["vel"])
 
     return resid, sr_flow, sr_turb, diag_flow, diag_turb, cellavg, prim, aux
 

@@ -125,6 +125,33 @@ def _wale_sigma_d(vgrad):
     return out
 
 
+def wilcox_beta(phys: Physics, q, vgrad):
+    """beta = beta0 * FBeta with the guarded vortex-stretching invariant
+    (reference: turbulence.cpp:199-230)."""
+    w = WILCOX
+    omega = q[phys.it + 1]
+    trace = vgrad[0, 0] + vgrad[1, 1] + vgrad[2, 2]
+    ident = jnp.zeros_like(vgrad)
+    for a in range(3):
+        ident = ident.at[a, a].set(1.0)
+    vort = 0.5 * (vgrad - jnp.swapaxes(vgrad, 0, 1))
+    strain_ki = 0.5 * (vgrad + jnp.swapaxes(vgrad, 0, 1)
+                       - trace[None, None] * ident)
+    num = 0.0
+    scale = 0.0
+    for a in range(3):
+        for c in range(3):
+            v2 = (vort[a, 0] * vort[0, c] + vort[a, 1] * vort[1, c]
+                  + vort[a, 2] * vort[2, c])
+            term = v2 * strain_ki[a, c]
+            num = num + term
+            scale = scale + jnp.abs(term)
+    num = jnp.where(jnp.abs(num) <= 1.0e-10 * scale, 0.0, num)
+    xw = jnp.abs(num / (w["beta_star"] * omega) ** 3)
+    fbeta = (1.0 + 85.0 * xw) / (1.0 + 100.0 * xw)
+    return w["beta0"] * fbeta
+
+
 def turb_source(phys: Physics, model: str, q, vgrad, kgrad, wgrad, mut, f1,
                 f2, width):
     """(src_k, src_w, src_spec_rad) per cell
@@ -147,31 +174,10 @@ def turb_source(phys: Physics, model: str, q, vgrad, kgrad, wgrad, mut, f1,
 
     if model == "kOmegaWilcox2006":
         w = WILCOX
-        # beta = beta0 * fbeta.  The vortex-stretching invariant
-        # (Omega.Omega):S_ki is EXACTLY zero in 2D flows via bitwise
-        # cancellation of identical product terms; einsum/dot_general
-        # accumulation breaks that cancellation and the garbage is amplified
-        # by /(beta* omega)^3 — so use explicit unrolled arithmetic, which
-        # XLA does not reassociate (matches the reference's op-by-op tensor
-        # algebra, turbulence.cpp:175-200)
-        vort = 0.5 * (vgrad - jnp.swapaxes(vgrad, 0, 1))
-        strain_ki = 0.5 * (vgrad + jnp.swapaxes(vgrad, 0, 1)
-                           - trace[None, None] * ident)
-        num = 0.0
-        scale = 0.0
-        for a in range(3):
-            for c in range(3):
-                v2 = (vort[a, 0] * vort[0, c] + vort[a, 1] * vort[1, c]
-                      + vort[a, 2] * vort[2, c])
-                term = v2 * strain_ki[a, c]
-                num = num + term
-                scale = scale + jnp.abs(term)
-        # fused-arithmetic cancellation guard: below 1e-10 of the term
-        # magnitude the invariant is roundoff noise (exact zero in 2D)
-        num = jnp.where(jnp.abs(num) <= 1.0e-10 * scale, 0.0, num)
-        xw = jnp.abs(num / (w["beta_star"] * omega) ** 3)
-        fbeta = (1.0 + 85.0 * xw) / (1.0 + 100.0 * xw)
-        beta = w["beta0"] * fbeta
+        # beta = beta0 * FBeta; the vortex-stretching invariant needs a
+        # cancellation guard (it is exactly zero in 2D flows and fused
+        # arithmetic otherwise leaves amplified roundoff) — see wilcox_beta
+        beta = wilcox_beta(phys, q, vgrad)
         tke_dest = inv_scaling * w["beta_star"] * r * tke * omega
         omg_dest = inv_scaling * beta * r * omega * omega
         tke_prod = jnp.maximum(scaling * rs_ddot, 0.0)
@@ -420,6 +426,12 @@ def viscous_residual(phys: Physics, cfg, block, prim, t_all, mu_all):
     sr_turb = jnp.zeros(shape_c, dtype)
     diag_flow = jnp.zeros(shape_c, dtype)
     diag_turb = jnp.zeros(shape_c, dtype)
+    diag_flow_blk = diag_turb_blk = 0.0
+    if cfg.get("block_matrix"):
+        N = phys.ns + 4
+        diag_flow_blk = jnp.zeros(shape_c + (N, N), dtype)
+        if is_rans:
+            diag_turb_blk = jnp.zeros(shape_c + (2, 2), dtype)
     cellavg = dict(
         vel=jnp.zeros((3, 3) + shape_c, dtype),
         temp=jnp.zeros((3,) + shape_c, dtype),
@@ -567,6 +579,33 @@ def viscous_residual(phys: Physics, cfg, block, prim, t_all, mu_all):
         # viscous fluxes subtract where inviscid adds (procBlock.cpp:1395)
         resid = resid - (fa[tuple(hi)] - fa[tuple(lo)])
 
+        if cfg.get("block_matrix"):
+            # TSL viscous block diagonal (procBlock.cpp:1414-1470): cell gets
+            # +TSL(right) at its lower face, -TSL(left) at its upper face
+            from . import block_jac as bj
+            center = geom["center"]
+            csl_lo = [slice(None)] * 4
+            csl_hi = [slice(None)] * 4
+            for a2, dd2 in enumerate("ijk"):
+                if dd2 == d:
+                    csl_lo[1 + a2] = slice(g - 1, g - 1 + nf)
+                    csl_hi[1 + a2] = slice(g, g + nf)
+                else:
+                    csl_lo[1 + a2] = slice(g, g + dims[dd2])
+                    csl_hi[1 + a2] = slice(g, g + dims[dd2])
+            c2c = center[tuple(csl_hi)] - center[tuple(csl_lo)]
+            dist_f = jnp.abs((c2c * nvec).sum(axis=0))
+            jl_f, jl_t = bj.approx_tsl_jacobian(
+                phys, cfg, qf, muf, mutf, f1f, nvec, mag, dist_f, vgrad,
+                left=True)
+            jr_f, jr_t = bj.approx_tsl_jacobian(
+                phys, cfg, qf, muf, mutf, f1f, nvec, mag, dist_f, vgrad,
+                left=False)
+            flo3v, fhi3v = _face_lohi(AX[d], n)
+            diag_flow_blk = diag_flow_blk + jr_f[flo3v] - jl_f[fhi3v]
+            if is_rans:
+                diag_turb_blk = diag_turb_blk + jr_t[flo3v] - jl_t[fhi3v]
+
         # cell-average gradient/mut accumulation (1/6 per face)
         sixth = 1.0 / 6.0
         flo3, fhi3 = _face_lohi(AX[d], n)
@@ -613,7 +652,8 @@ def viscous_residual(phys: Physics, cfg, block, prim, t_all, mu_all):
             sr_turb = sr_turb + visc_coeff * tvsr
             diag_turb = diag_turb + 2.0 * tvsr
 
-    return resid, sr_flow, sr_turb, diag_flow, diag_turb, cellavg
+    return (resid, sr_flow, sr_turb, diag_flow, diag_turb, cellavg,
+            diag_flow_blk, diag_turb_blk)
 
 
 def _face_lohi(axd, n):

@@ -83,6 +83,66 @@ def test_viscous_regression(case, tmp_path):
     run_and_compare(case, iters, goldens, ignored, tmp_path)
 
 
+# block-matrix solvers: same cases re-run by the reference with
+# matrixSolver switched (goldens generated with the reference binary;
+# validated against dump-level comparison of du/diag/offdiag to 1e-14)
+BLOCK_SOLVER_CASES = {
+    # case, solver, iters, goldens (+ final Res-Matrix), ignored indices
+    "subsonicCylinder-blusgs": (
+        "subsonicCylinder", "blusgs", 30,
+        [1.0198e+00, 1.0363e+00, 1.1749e+00, 1.1588e+00, 9.9029e-01],
+        2.3016e-06, {3}),
+    "subsonicCylinder-bdplur": (
+        "subsonicCylinder", "bdplur", 20,
+        [4.7399e+00, 4.6701e+00, 5.1544e+00, 2.1819e+00, 4.8419e+00],
+        3.9093e-05, {3}),
+    # sdr tolerance 2%: the residual operator amplifies 1-ulp state
+    # differences ~1e12x (characteristic-BC inflow/outflow branches), so
+    # cross-implementation trajectories drift at the 3rd digit; the linear
+    # solve itself (Res-Matrix) still matches to all printed digits.
+    "turbFlatPlate-blusgs": (
+        "turbFlatPlate", "blusgs", 20,
+        [2.0489e-01, 2.7998e-01, 9.9916e-01, 2.5696e-01, 1.9992e-01,
+         1.5678e-06, 8.9295e-06], 8.4068e-10, {2}, 0.02),
+}
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(CASES), reason="reference cases absent")
+@pytest.mark.parametrize("name", sorted(BLOCK_SOLVER_CASES))
+def test_block_solver_regression(name, tmp_path):
+    """BLUSGS / BDPLUR block-matrix solvers (reference:
+    linearSolver.cpp:356-600, fluxJacobian.hpp:440-760)."""
+    import re
+    import shutil
+    from aither_tpu.solver.driver import Solver
+    spec = BLOCK_SOLVER_CASES[name]
+    case, solver_name, iters, goldens, mat_golden, ignored = spec[:6]
+    tol = spec[6] if len(spec) > 6 else 0.01
+    src = os.path.join(CASES, case)
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), str(tmp_path))
+    deck = os.path.join(str(tmp_path), f"{case}.inp")
+    with open(deck) as f:
+        text = f.read()
+    text = re.sub(r"(?m)^matrixSolver:.*$",
+                  f"matrixSolver: {solver_name}", text)
+    with open(deck, "w") as f:
+        f.write(text)
+    solver = Solver(deck, workdir=str(tmp_path))
+    solver.run(iterations=iters)
+    with open(os.path.join(str(tmp_path), f"{case}.resid")) as f:
+        last = f.readlines()[-1].split()
+    neq = len(goldens)
+    resids = [float(v) for v in last[3:3 + neq]]
+    for i, (got, want) in enumerate(zip(resids, goldens)):
+        if i in ignored:
+            continue
+        assert got == pytest.approx(want, rel=tol), (
+            f"{name} eq {i}: {got} vs golden {want}")
+    assert float(last[-1]) == pytest.approx(mat_golden, rel=0.01)
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(not os.path.isdir(CASES), reason="reference cases absent")
 def test_uniform_flow_orientations(tmp_path):
