@@ -335,9 +335,12 @@ def pressure_outlet(phys: Physics, interior, norm, data: BCData, layer,
 
 
 def viscous_wall(phys: Physics, interior, norm, data: BCData, layer,
-                 wall_dist=None, nu_w=None):
-    """Low-Re viscous wall (reference: ghostStates.cpp:130-285); the wall-law
-    variant is layered on separately."""
+                 wall_dist=None, nu_w=None, cfg=None, wvars_out=None):
+    """Viscous wall, low-Re or wall-law treatment (reference:
+    ghostStates.cpp:130-285).  For the wall-law variant, the
+    White-Christoph solve runs on the mirror-cell states and the
+    turbulence/density ghosts use the wall values unless the y+ < 10
+    low-Re switch triggers per face (wallData.hpp:57)."""
     vel_wall = jnp.asarray(data.velocity, interior.dtype).reshape(
         (3,) + (1,) * (interior.ndim - 1))
     vel_i = interior[phys.mx:phys.mx + 3]
@@ -347,13 +350,36 @@ def viscous_wall(phys: Physics, interior, norm, data: BCData, layer,
     mf = interior[:phys.ns] / rho_i[None]
     t_i = st.temperature(phys, interior)
 
+    wv = None
+    if data.wall_law:
+        from .wall_law import solve_wall_law
+        wv = solve_wall_law(
+            phys, cfg, interior, norm, wall_dist,
+            von_karmen=data.von_karmen, wall_const=data.wall_constant,
+            t_wall=data.temperature if data.is_isothermal else None,
+            heat_flux=data.heat_flux if data.is_constant_heat_flux else None,
+            vel_wall=data.velocity)
+        if wvars_out is not None:
+            wvars_out.update(wv)
+        low_re = wv["low_re"]
+
     if data.is_isothermal:
         t_ghost = 2.0 * data.temperature - t_i
+        if data.wall_law:
+            # wall-law heat flux sets the ghost temperature; the eddy
+            # viscosity is nonzero at the wall (ghostStates.cpp:160-175)
+            kappa = phys.effective_conductivity(wv["t"], mf) \
+                + wv["mut"] * phys.mix(phys.species_cp(wv["t"]), mf) \
+                / phys.turb_prandtl()
+            t_wl = data.temperature - wv["q"] / kappa * 2.0 * wall_dist
+            t_ghost = jnp.where(low_re, t_ghost, t_wl)
         rho_g = phys.density_tp(t_ghost, st.pressure(phys, ghost), mf)
         ghost = ghost.at[:phys.ns].set(rho_g[None] * mf)
     elif data.is_constant_heat_flux:
         kappa = phys.effective_conductivity(t_i, mf)
         t_ghost = t_i - data.heat_flux / kappa * 2.0 * wall_dist
+        if data.wall_law:
+            t_ghost = jnp.where(low_re, t_ghost, 2.0 * wv["t"] - t_i)
         rho_g = phys.density_tp(t_ghost, st.pressure(phys, ghost), mf)
         ghost = ghost.at[:phys.ns].set(rho_g[None] * mf)
     # adiabatic: numerical BCs for density/pressure
@@ -368,6 +394,14 @@ def viscous_wall(phys: Physics, interior, norm, data: BCData, layer,
         omega_g = 2.0 * w_wall - interior[phys.it + 1]
         if layer > 1:
             omega_g = layer * omega_g - w_wall
+        if data.wall_law:
+            tke_wl = 2.0 * wv["tke"] - interior[phys.it]
+            sdr_wl = 2.0 * wv["sdr"] - interior[phys.it + 1]
+            if layer > 1:
+                tke_wl = layer * tke_wl - wv["tke"]
+                sdr_wl = layer * sdr_wl - wv["sdr"]
+            tke_g = jnp.where(low_re, tke_g, tke_wl)
+            omega_g = jnp.where(low_re, omega_g, sdr_wl)
         ghost = ghost.at[phys.it].set(tke_g)
         ghost = ghost.at[phys.it + 1].set(omega_g)
     return ghost

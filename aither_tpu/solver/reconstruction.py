@@ -21,6 +21,12 @@ def _limiter(name: str, r):
     if name == "minmod":
         return jnp.clip(r, 0.0, 1.0)
     if name == "vanAlbada":
+        # clip so r*r cannot overflow in float32 (vanAlbada(r) is within one
+        # ulp of 1 far before the clip; the EPS guard in the r-ratio makes
+        # |r| ~ 1/EPS at zero-gradient cells, whose square is inf in f32 and
+        # turns the whole face state into NaN via 0 * NaN)
+        big = 0.25 * jnp.sqrt(jnp.finfo(jnp.result_type(r)).max)
+        r = jnp.clip(r, -big, big)
         return jnp.maximum(0.0, (r + r * r) / (1.0 + r * r))
     raise ValueError(f"unknown limiter {name!r}")
 

@@ -63,7 +63,7 @@ def boundary_normal(geom, spec, g, n):
 
 
 def apply_boundary_ghosts(phys: Physics, block, prim, viscous_pass=False,
-                          mu_all=None):
+                          mu_all=None, cfg=None, wall_data=None):
     """Assign ghost states for all non-connection surfaces
     (reference: procBlock.cpp:2449-2563).  For the inviscid pass
     viscousWall degrades to slipWall; the viscous pass re-does viscousWall
@@ -94,6 +94,14 @@ def apply_boundary_ghosts(phys: Physics, block, prim, viscous_pass=False,
                 kw["nu_w"] = mu_all[
                     _plane(mu_all, ax - 1, acell, spec.patch)] / st.rho(
                         phys, adj)
+                if spec.data is not None and spec.data.wall_law:
+                    kw["cfg"] = cfg
+                    if layer == 1 and wall_data is not None:
+                        # wall data stored at layer 1 only
+                        # (reference: procBlock.cpp:6288-6291)
+                        wv = {}
+                        kw["wvars_out"] = wv
+                        wall_data[id(spec)] = wv
             else:
                 src = icell if bct == "slipWall" else acell
             interior = prim[_plane(prim, ax, src, spec.patch)]
@@ -458,8 +466,10 @@ def full_residual(phys: Physics, cfg, block, prim):
         t_all = phys.temperature(prim[phys.ie], prim[:phys.ns])
         mf_all = prim[:phys.ns] / prim[:phys.ns].sum(axis=0)[None]
         mu_all = phys.viscosity(t_all, mf_all)
+        wall_data = {}
         prim = apply_boundary_ghosts(phys, block, prim, viscous_pass=True,
-                                     mu_all=mu_all)
+                                     mu_all=mu_all, cfg=cfg,
+                                     wall_data=wall_data)
         prim = apply_edge_ghosts(phys, block, prim, viscous_pass=True,
                                  mu_all=mu_all)
         t_all = phys.temperature(prim[phys.ie], prim[:phys.ns])
@@ -468,7 +478,7 @@ def full_residual(phys: Physics, cfg, block, prim):
 
         (rv, vsr_f, vsr_t, vdiag_f, vdiag_t, cellavg, vblk_f,
          vblk_t) = vis.viscous_residual(phys, cfg, block, prim, t_all,
-                                        mu_all)
+                                        mu_all, wall_data=wall_data)
         resid = resid + rv
         sr_flow = sr_flow + vsr_f
         sr_turb = sr_turb + vsr_t

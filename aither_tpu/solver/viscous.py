@@ -401,7 +401,8 @@ def _wall_face_mask(block, d: str, nf: int):
     return mask
 
 
-def viscous_residual(phys: Physics, cfg, block, prim, t_all, mu_all):
+def viscous_residual(phys: Physics, cfg, block, prim, t_all, mu_all,
+                     wall_data=None):
     """Viscous flux residual contribution + gradients + eddy viscosity +
     viscous spectral radii (reference: procBlock.cpp:1233-1879).
 
@@ -449,6 +450,25 @@ def viscous_residual(phys: Physics, cfg, block, prim, t_all, mu_all):
                           for _ in range(phys.ns)]
 
     P = tuple(slice(g, g + dims[dd]) for dd in "ijk")
+
+    def _wall_law_slabs(d, nf_shape_len=None):
+        """(spec, face-array index tuple, sign) for wall-law surfaces on
+        axis d (reference: procBlock.cpp:1270-1305 wall-law flux branch)."""
+        out = []
+        for spec in block.surfaces:
+            if (spec.bc_type != "viscousWall" or spec.data is None
+                    or not spec.data.wall_law
+                    or spec.direction != d
+                    or wall_data is None or id(spec) not in wall_data):
+                continue
+            pos = 0 if spec.lower else dims[d]
+            sl = [None, None, None]
+            sl[AX[d]] = pos
+            taxes = [a for a in range(3) if a != AX[d]]
+            for a, (lo, hi) in zip(taxes, spec.patch):
+                sl[a] = slice(lo - g, hi - g)
+            out.append((spec, tuple(sl), 1.0 if spec.lower else -1.0))
+        return out
 
     for d in "ijk":
         ax = 1 + AX[d]
@@ -501,6 +521,9 @@ def viscous_residual(phys: Physics, cfg, block, prim, t_all, mu_all):
         vgrad = grads["vel"]
         tgrad = grads["temp"]
 
+        wl_slabs = _wall_law_slabs(d)
+        inv_scaling = 1.0 / scaling
+
         mutf = jnp.zeros_like(muf)
         f1f = jnp.zeros_like(muf)
         f2f = jnp.zeros_like(muf)
@@ -511,6 +534,19 @@ def viscous_residual(phys: Physics, cfg, block, prim, t_all, mu_all):
                 grads.get("tke", jnp.zeros_like(tgrad)),
                 grads.get("omega", jnp.zeros_like(tgrad)),
                 muf, wdf, length)
+
+        for spec, sl, sgn in wl_slabs:
+            # wall-law faces use the wall viscosity / eddy viscosity and
+            # f1 = f2 = 1 for spectral radii and Jacobians
+            # (reference: procBlock.cpp:1286-1294)
+            wv = wall_data[id(spec)]
+            lr = wv["low_re"]
+            muf = muf.at[sl].set(jnp.where(lr, muf[sl],
+                                           inv_scaling * wv["mu"]))
+            mutf = mutf.at[sl].set(jnp.where(lr, mutf[sl],
+                                             inv_scaling * wv["mut"]))
+            f1f = f1f.at[sl].set(jnp.where(lr, f1f[sl], 1.0))
+            f2f = f2f.at[sl].set(jnp.where(lr, f2f[sl], 1.0))
 
         # face unit normals at physical faces
         fsl = [slice(None)] * 4
@@ -570,6 +606,31 @@ def viscous_residual(phys: Physics, cfg, block, prim, t_all, mu_all):
             flux = flux.at[phys.it + 1].set(
                 (mu_s + sigma_w(model, f1f) * mutt)
                 * (grads["omega"] * nvec).sum(axis=0))
+
+        for spec, sl, sgn in wl_slabs:
+            # prescribed wall-law shear stress / heat flux / turb diffusion
+            # (reference: viscousFlux.cpp:213-252; tau sign flipped on upper
+            # surfaces, wallLaw.cpp:83-85)
+            wv = wall_data[id(spec)]
+            lr = wv["low_re"]
+            esl = (slice(None),) + sl
+            vel_wall = jnp.asarray(spec.data.velocity, flux.dtype)
+            tau_w = sgn * wv["tau"]
+            flux = flux.at[(slice(phys.mx, phys.mx + 3),) + sl].set(
+                jnp.where(lr[None], flux[(slice(phys.mx, phys.mx + 3),) + sl],
+                          tau_w))
+            e_wl = (tau_w * vel_wall[:, None, None]).sum(axis=0) + wv["q"]
+            flux = flux.at[(phys.ie,) + sl].set(
+                jnp.where(lr, flux[(phys.ie,) + sl], e_wl))
+            if is_rans:
+                kgn = (grads["tke"] * nvec).sum(axis=0)[sl]
+                wgn = (grads["omega"] * nvec).sum(axis=0)[sl]
+                tk_wl = (wv["mu"] + sigma_k(model, 1.0) * wv["mut"]) * kgn
+                tw_wl = (wv["mu"] + sigma_w(model, 1.0) * wv["mut"]) * wgn
+                flux = flux.at[(phys.it,) + sl].set(
+                    jnp.where(lr, flux[(phys.it,) + sl], tk_wl))
+                flux = flux.at[(phys.it + 1,) + sl].set(
+                    jnp.where(lr, flux[(phys.it + 1,) + sl], tw_wl))
 
         fa = flux * mag[None]
         lo = [slice(None)] * 4
