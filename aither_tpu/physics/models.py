@@ -248,16 +248,50 @@ class Physics:
             hf = self._c(self.hf, mf.ndim)
             cv = self._c([r * n for r, n in zip(self.R, self.n)], mf.ndim)
             return (e - (hf * mf).sum(0)) / ((cv * mf).sum(0))
-        # thermally perfect: Newton iterations from cpg initial guess
-        hf = self._c(self.hf, mf.ndim)
-        cv0 = self._c([r * n for r, n in zip(self.R, self.n)], mf.ndim)
-        t = (e - (hf * mf).sum(0)) / ((cv0 * mf).sum(0))
-        t = jnp.maximum(t, 1.0e-8)
-        for _ in range(8):
-            f = self.mix(self.species_energy(t), mf) - e
-            fp = self.mix(self.species_cv(t), mf)
-            t = jnp.maximum(t - f / fp, 1.0e-8)
-        return t
+        # thermally perfect: Ridder's method on [1e-8, 1e4] at tol 1e-8,
+        # T = the final evaluation point, exactly as the reference
+        # (thermodynamic.cpp:132-141, utility.hpp:130-184).  Matching the
+        # reference's stopping point keeps cross-implementation state
+        # trajectories pinned (the residual operator amplifies state
+        # differences, so a different-but-equally-valid root would drift
+        # the goldens).
+        import jax
+
+        def fres(t):
+            return e - self.mix(self.species_energy(t), mf)
+
+        lo, hi, tol = 1.0e-8, 1.0e4, 1.0e-8
+        x1 = jnp.full_like(e, lo)
+        x2 = jnp.full_like(e, hi)
+        f1 = fres(x1)
+        f2 = fres(x2)
+        bracketed = jnp.sign(f1) != jnp.sign(f2)
+
+        def body(_, carry):
+            x1, f1, x2, f2, x4, done = carry
+            x3 = 0.5 * (x1 + x2)
+            f3 = fres(x3)
+            denom = jnp.sqrt(jnp.abs(f3 * f3 - f1 * f2)) + 1.0e-300
+            x4n = x3 + (x3 - x1) * (jnp.sign(f1 - f2) * f3) / denom
+            f4 = fres(x4n)
+            x4 = jnp.where(done, x4, x4n)
+            c1 = jnp.sign(f4) != jnp.sign(f3)
+            c2 = jnp.sign(f4) != jnp.sign(f1)
+            nx1 = jnp.where(c1, x3, jnp.where(c2, x1, x4n))
+            nf1 = jnp.where(c1, f3, jnp.where(c2, f1, f4))
+            nx2 = jnp.where(c1, x4n, jnp.where(c2, x4n, x2))
+            nf2 = jnp.where(c1, f4, jnp.where(c2, f4, f2))
+            x1 = jnp.where(done, x1, nx1)
+            f1 = jnp.where(done, f1, nf1)
+            x2 = jnp.where(done, x2, nx2)
+            f2 = jnp.where(done, f2, nf2)
+            done = done | (jnp.abs(x2 - x1) <= tol) | (f3 == 0.0) \
+                | (f4 == 0.0)
+            return (x1, f1, x2, f2, x4, done)
+
+        carry = (x1, f1, x2, f2, jnp.full_like(e, hi), ~bracketed)
+        *_, x4, _done = jax.lax.fori_loop(0, 64, body, carry)
+        return jnp.where(bracketed, x4, hi)
 
     # ---- equation of state (ideal gas) --------------------------------------
     def temperature(self, p, rho_s):

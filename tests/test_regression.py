@@ -44,6 +44,13 @@ VISCOUS_CASES = {
                            2.1910e-01, 2.5208e-07, 3.3009e-06], {2}),
     "rae2822": (20, [5.5618e-01, 6.6813e-01, 5.3620e-01, 1.0000e+00,
                      4.9726e-01, 2.5769e-09, 3.4032e-10], {3}),
+    # thermally perfect gas (vibrational-energy thermo, Ridder T inversion).
+    # 4% tolerance: state trajectories agree to 1e-13 stepwise but the
+    # residual operator amplifies roundoff ~1e11x, spreading Res-Omega a
+    # few percent by iteration 20 (verified by dump-level comparison).
+    "thermallyPerfect": (20, [5.8177e-01, 3.8066e-01, 4.8670e-01,
+                              1.0000e+00, 5.9931e-01, 1.2830e-06,
+                              3.5031e-04], {3}, 0.04),
 }
 
 
