@@ -17,10 +17,13 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
+from typing import Any
 
 import jax.numpy as jnp
 import numpy as np
 
+from . import chemistry as _chem
 from .fluid import Fluid
 
 
@@ -85,6 +88,7 @@ class Physics:
     # chemistry
     chem_model: str = "frozen"
     freezing_temperature: float = 0.0
+    chemistry: Any = None             # Chemistry config (reacting) or None
 
     # ---- index helpers ------------------------------------------------------
     @property
@@ -127,10 +131,12 @@ class Physics:
         for fl in fluids:
             v = fl.ref_s - fl.gas_constant * (fl.n + 1.0) * math.log(fl.ref_t)
             if deck["thermodynamicModel"] == "thermallyPerfect":
+                # NOTE: the reference subtracts the raw vibrational sum,
+                # NOT scaled by R (thermodynamic.cpp:50-57) — replicated
+                # for Gibbs/chemistry parity
                 for tv in fl.vib_temps:
-                    v -= fl.gas_constant * (
-                        tv / ((math.exp(tv / fl.ref_t) - 1.0) * fl.ref_t)
-                        - math.log(1.0 - math.exp(-tv / fl.ref_t)))
+                    v -= (tv / ((math.exp(tv / fl.ref_t) - 1.0) * fl.ref_t)
+                          - math.log(1.0 - math.exp(-tv / fl.ref_t)))
             s0.append(v)
         # dimensional species viscosities at tRef, Wilke-mixed over the
         # reference mixture (reference: transport.cpp:29-66)
@@ -167,6 +173,7 @@ class Physics:
             schmidt=deck["schmidtNumber"],
             chem_model=deck["chemistryModel"],
             freezing_temperature=deck["freezingTemperature"],
+            chemistry=_chem.from_deck(deck, search_dirs=(os.getcwd(),)),
         )
 
     # ---- per-species constant arrays (numpy; become jit constants) ----------

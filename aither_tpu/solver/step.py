@@ -496,6 +496,27 @@ def full_residual(phys: Physics, cfg, block, prim):
         f1_pad = jnp.zeros_like(mu_all).at[P].set(cellavg["f1"])
         aux = {"mu": mu_all, "mut": mut_pad, "f1": f1_pad}
 
+    if phys.chemistry is not None:
+        # reacting chemistry source terms (reference: procBlock.cpp:5956-6000,
+        # source.cpp:44-57, chemistry.cpp:81-176)
+        from ..physics import chemistry as chem_mod
+        g = block.g
+        P = tuple(slice(g, g + n) for n in (block.ni, block.nj, block.nk))
+        cell_q = prim[(slice(None),) + P]
+        vol = block.geom["vol"][P]
+        t_cell = st.temperature(phys, cell_q)
+        src, srad = chem_mod.source_terms(phys, phys.chemistry,
+                                          cell_q[:phys.ns], t_cell)
+        # residual -= src * vol (source on the RHS)
+        resid = resid.at[:phys.ns].add(-src * vol[None])
+        # spectral radius / diagonal: subtract (negative) destruction term
+        sr_flow = sr_flow - srad * vol
+        diag_flow = diag_flow - srad * vol
+        if cfg.get("block_matrix"):
+            cjac = chem_mod.source_jacobian(phys, phys.chemistry,
+                                            cell_q[:phys.ns], t_cell, src)
+            diag_flow_blk = diag_flow_blk - cjac * vol[..., None, None]
+
     if phys.nturb and cfg.get("viscous"):
         g = block.g
         P = tuple(slice(g, g + n) for n in (block.ni, block.nj, block.nk))

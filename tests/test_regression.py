@@ -26,6 +26,12 @@ IMPLICIT_CASES = {
                                  1.0180e+00, 1.9997e-01], {3}),
     "shockTube": (100, [4.8537e-01, 4.5855e-01, 1.0000e+00, 1.0000e+00,
                         2.6434e-01], {2, 3}),
+    # O2 dissociation: reacting Arrhenius chemistry + thermally perfect
+    # thermo + BDF2 dual time stepping (5 nonlinear iterations) + BDPLUR
+    # with the finite-difference chemistry source Jacobian; official
+    # goldens (regressionTests.py:551-554)
+    "dissociation": (100, [4.5420e-01, 4.6147e-01, 1.0000e+00, 1.0000e+00,
+                           2.3419e-01], {2, 3}),
 }
 
 # single-processor goldens (regressionTests.py per-proc variants)
@@ -44,6 +50,12 @@ VISCOUS_CASES = {
                            2.1910e-01, 2.5208e-07, 3.3009e-06], {2}),
     "rae2822": (20, [5.5618e-01, 6.6813e-01, 5.3620e-01, 1.0000e+00,
                      4.9726e-01, 2.5769e-09, 3.4032e-10], {3}),
+    # 3-species H2O/H2/N2 supersonic mixing layer (species diffusion,
+    # centralFourth viscous reconstruction); goldens from the reference
+    # binary single-rank at 20 iterations.
+    "supersonicMixing": (20, [2.1360e-01, 1.5278e-01, 1.3632e+00,
+                              5.5599e-01, 3.3470e-01, 3.6610e-04,
+                              1.2393e-05], {3}, 0.02),
     # thermally perfect gas (vibrational-energy thermo, Ridder T inversion).
     # 4% tolerance: state trajectories agree to 1e-13 stepwise but the
     # residual operator amplifies roundoff ~1e11x, spreading Res-Omega a
