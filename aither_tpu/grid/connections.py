@@ -149,7 +149,7 @@ def _rotation_matrix(axis, angle):
 
 
 def find_connections(bcs: list[BlockBC], grids: list[np.ndarray],
-                     bc_states=None) -> list[Connection]:
+                     bc_states=None, l_ref: float = 1.0) -> list[Connection]:
     """Match all interblock and periodic surfaces into connections.
 
     interblock tags encode the partner: tag = partnerSurface*1000 +
@@ -183,25 +183,33 @@ def find_connections(bcs: list[BlockBC], grids: list[np.ndarray],
                     continue
                 c1 = _patch_corners(grids[b1], side1)
                 c2 = _patch_corners(grids[b2], side2)
-            else:  # periodic: transform side1 corners by its state data
+            else:  # periodic: transform the start-tag corners by the
+                # boundaryState's translation/rotation, whichever side is
+                # visited first (reference: boundaryConditions.cpp periodic
+                # matching via the transformed patch)
                 if bc_states is None:
                     continue
                 try:
                     data = _periodic_data(bc_states, s1.tag)
                 except KeyError:
                     continue
-                # match start-tag patch to end-tag patch only
-                if not (data.get("startTag") == s1.tag
-                        and data.get("endTag") == s2.tag):
+                fwd = (data.get("startTag") == s1.tag
+                       and data.get("endTag") == s2.tag)
+                rev = (data.get("endTag") == s1.tag
+                       and data.get("startTag") == s2.tag)
+                if not (fwd or rev):
                     continue
                 c1 = [np.asarray(c, dtype=np.float64)
                       for c in _patch_corners(grids[b1], side1)]
+                sgn = 1.0 if fwd else -1.0
                 if "translation" in data:
-                    tr = np.asarray(data["translation"], dtype=np.float64)
-                    c1 = [c + tr for c in c1]
+                    tr = np.asarray(data["translation"],
+                                    dtype=np.float64) / l_ref
+                    c1 = [c + sgn * tr for c in c1]
                 else:
-                    rot = _rotation_matrix(data["axis"], data["rotation"])
-                    pt = np.asarray(data["point"], dtype=np.float64)
+                    rot = _rotation_matrix(data["axis"],
+                                           sgn * data["rotation"])
+                    pt = np.asarray(data["point"], dtype=np.float64) / l_ref
                     c1 = [rot @ (c - pt) + pt for c in c1]
                 c2 = _patch_corners(grids[b2], side2)
             orient = match_orientation(c1, c2)

@@ -509,9 +509,11 @@ def parse_deck_text(text: str, sim_name: str = "input.inp") -> Deck:
             body, i = _read_list_value(lines, i, val)
             names = [t.strip() for t in body.split(",") if t.strip()]
             if key == "outputVariables":
-                deck.output_variables = names
+                # reference stores these in a std::set -> sorted unique
+                # (input.hpp:105-106)
+                deck.output_variables = sorted(set(names))
             else:
-                deck.wall_output_variables = names
+                deck.wall_output_variables = sorted(set(names))
             i += 1
             continue
 

@@ -83,10 +83,148 @@ def variable_field(name, prim, phys, deck, aux=None):
         return np.zeros_like(np.asarray(rho))
     if name == "globalPosition":
         return np.zeros_like(np.asarray(rho))
+    if name == "cp":
+        cp = np.asarray(phys.mix(phys.species_cp(temperature()), mf))
+        return cp * a * a / t_ref
+    if name == "cv":
+        cv = np.asarray(phys.mix(phys.species_cv(temperature()), mf))
+        return cv * a * a / t_ref
+    if name == "energy":
+        e = np.asarray(phys.mix(phys.species_energy(temperature()), mf))
+        vel = prim[phys.mx:phys.mx + 3]
+        return (e + 0.5 * (vel * vel).sum(axis=0)) * a * a
+    if name == "enthalpy":
+        h = np.asarray(phys.mix(phys.species_enthalpy(temperature()), mf))
+        vel = prim[phys.mx:phys.mx + 3]
+        return (h + 0.5 * (vel * vel).sum(axis=0)) * a * a
+    if name == "dt" and aux is not None and "dt" in aux:
+        return aux["dt"] * l_ref / a
+    if name in ("f1", "f2") and aux is not None and name in aux:
+        return np.asarray(aux[name])
+    # gradient components (reference: output.cpp:309-383)
+    comp = {"x": 0, "y": 1, "z": 2}
+    vcomp = {"u": 0, "v": 1, "w": 2}
+    cellavg = (aux or {}).get("cellavg")
+    if name.startswith("velGrad_") and cellavg is not None:
+        cv_, cx = name[8], name[9]
+        # cellavg["vel"][a][b] = d v_b / d x_a
+        return np.asarray(cellavg["vel"][comp[cx], vcomp[cv_]]) * a / l_ref
+    if name.startswith("tempGrad_") and cellavg is not None:
+        return np.asarray(cellavg["temp"][comp[name[-1]]]) * t_ref / l_ref
+    if name.startswith("densityGrad_") and cellavg is not None:
+        return np.asarray(cellavg["rho"][comp[name[-1]]]) * r / l_ref
+    if name.startswith("pressGrad_") and cellavg is not None:
+        return np.asarray(cellavg["press"][comp[name[-1]]]) * r * a * a / l_ref
+    if name.startswith("tkeGrad_") and cellavg is not None:
+        return np.asarray(cellavg["tke"][comp[name[-1]]]) * a * a / l_ref
+    if name.startswith("omegaGrad_") and cellavg is not None:
+        return np.asarray(cellavg["omega"][comp[name[-1]]]) \
+            * a * a * r / (phys.mu_mix_ref * l_ref)
+    if name.startswith("resid_") and aux is not None and "resid" in aux:
+        # (reference: output.cpp:384-411)
+        which = name[6:]
+        eq = {"mass": 0, "mom_x": ns, "mom_y": ns + 1, "mom_z": ns + 2,
+              "energy": ns + 3, "tke": ns + 4, "sdr": ns + 5}[which]
+        val = np.asarray(aux["resid"][eq])
+        if which == "mass":
+            return val * r * a * l_ref * l_ref
+        if which in ("mom_x", "mom_y", "mom_z"):
+            return val * r * a * a * l_ref * l_ref
+        if which in ("energy", "tke"):
+            return val * r * a ** 3 * l_ref * l_ref
+        return val * r * r * a ** 4 * l_ref * l_ref / phys.mu_mix_ref
     if aux is not None and name in aux:
-        return aux[name]
-    # gradient components etc. not yet exported -> zeros
+        return np.asarray(aux[name])
     return np.zeros_like(np.asarray(rho))
+
+
+# wall output variable scalings (reference: output.cpp:472-560)
+def wall_variable_field(name, wd, phys, deck):
+    a, r, t_ref, l_ref = (deck.a_ref, deck.r_ref, deck.t_ref, deck.l_ref)
+    mu_ref = phys.mu_mix_ref
+    inv_scaling = 1.0 / phys.nondim_scaling
+    if name == "yplus":
+        return np.asarray(wd["yplus"])
+    if name == "shearStress":
+        tau = np.asarray(wd["tau"])
+        return np.sqrt((tau * tau).sum(axis=0)) \
+            * inv_scaling * mu_ref * a / l_ref
+    if name == "viscosityRatio":
+        return np.asarray(wd["mut"]) / (np.asarray(wd["mu"]) + 1.0e-30)
+    if name == "heatFlux":
+        return np.asarray(wd["q"]) * mu_ref * t_ref / l_ref
+    if name == "frictionVelocity":
+        return np.asarray(wd["u_star"]) * a
+    if name == "density":
+        return np.asarray(wd["rho"]) * r
+    if name == "pressure":
+        rho = np.asarray(wd["rho"])
+        t = np.asarray(wd["t"])
+        import jax.numpy as jnp
+        mfw = jnp.ones((phys.ns,) + rho.shape) / phys.ns \
+            if "mf" not in wd else wd["mf"]
+        p = np.asarray(phys.pressure_rt(jnp.asarray(rho)[None] * mfw,
+                                        jnp.asarray(t)))
+        return p * r * a * a
+    if name == "temperature":
+        return np.asarray(wd["t"]) * t_ref
+    if name == "viscosity":
+        return np.asarray(wd["mu"]) * mu_ref * inv_scaling
+    if name == "tke":
+        return np.asarray(wd["tke"]) * a * a
+    if name == "sdr":
+        return np.asarray(wd["sdr"]) * a * a * r / mu_ref
+    raise ValueError(f"unknown wall output variable {name!r}")
+
+
+def write_wall_files(sim_root, grid_name, iteration, case, wall_blocks,
+                     var_names):
+    """Wall-face grid + fun + meta files (reference: output.cpp:146-207
+    WriteWallGrid, :472-560 WriteWallFun, :963-1005 WriteWallMeta).
+
+    wall_blocks: list of (surface_spec, face_centers (n1,n2,3) nondim,
+    wall_data dict of (n1,n2) arrays)."""
+    deck = case.deck
+    phys = case.phys
+    if not wall_blocks:
+        return
+
+    def to3d(spec, arr):
+        """(t1, t2) transverse field -> (di, dj, dk) with the surface's
+        constant axis of extent 1 (reference: WriteBlockDims over
+        boundarySurface ranges, output.cpp:496-506)."""
+        return np.expand_dims(arr, axis=spec.axis)
+
+    dims = [to3d(spec, fc[..., 0]).shape for _, spec, fc, _ in wall_blocks]
+    # wall-face center grid (written once per run alongside the fun files)
+    grid_path = f"{sim_root}_wall_center.xyz"
+    if not os.path.isfile(grid_path):
+        with open(grid_path, "wb") as f:
+            _write_block_dims(f, dims)
+            for _, spec, fc, _ in wall_blocks:
+                for n in range(3):
+                    f.write(np.ascontiguousarray(
+                        to3d(spec, fc[..., n] * deck.l_ref).transpose(2, 1, 0),
+                        dtype="<f8").tobytes())
+    # data layout replicates the reference exactly: per parent block,
+    # VARIABLE-major with that block's wall surfaces inner
+    # (output.cpp:505-560: for blk / for var / for surface)
+    fun_path = f"{sim_root}_{iteration}_wall_center.fun"
+    parents = []
+    for bi, *_ in wall_blocks:
+        if bi not in parents:
+            parents.append(bi)
+    with open(fun_path, "wb") as f:
+        _write_block_dims(f, dims, num_vars=len(var_names))
+        for bi in parents:
+            for name in var_names:
+                for bj, spec, fc, wd in wall_blocks:
+                    if bj != bi:
+                        continue
+                    field = wall_variable_field(name, wd, phys, deck)
+                    f.write(np.ascontiguousarray(
+                        to3d(spec, field).transpose(2, 1, 0),
+                        dtype="<f8").tobytes())
 
 
 def write_fun_file(path, var_names, blocks_prim, phys, deck, aux_blocks=None):

@@ -206,8 +206,11 @@ def characteristic(phys: Physics, interior, norm, data: BCData, layer):
     return ghost
 
 
-def inlet(phys: Physics, interior, norm, data: BCData, layer):
-    """(reference: ghostStates.cpp:392-488), reflecting variant only."""
+def inlet(phys: Physics, interior, norm, data: BCData, layer,
+          state_n=None, dt=None, max_mach=None, avg_mach=None,
+          pgrad=None, vgrad=None):
+    """(reference: ghostStates.cpp:392-488), reflecting and nonreflecting
+    (LODI) variants."""
     free = freestream_prim(phys, data, interior)
     vel_i = st.velocity(phys, interior)
     vn = (vel_i * norm).sum(axis=0)
@@ -222,9 +225,22 @@ def inlet(phys: Physics, interior, norm, data: BCData, layer):
 
     vd = vel_f - vel_i
     p_g = 0.5 * (p_f + p_i - rho_sos * (norm * vd).sum(axis=0))
-    dp = p_f - p_g
-    rho_g = rho_f - dp / (sos_i * sos_i)
-    vel_g = vel_f - norm * (dp / rho_sos)[None]
+    if data.nonreflecting and state_n is not None:
+        # LODI minus characteristic (reference: ghostStates.cpp:437-460)
+        sigma = 0.25
+        rho_n = st.rho(phys, state_n)
+        sos_n = st.sos(phys, state_n)
+        rho_sos_n = rho_n * sos_n
+        dp_n = p_g - st.pressure(phys, state_n)
+        alpha = sigma * sos_n / data.length_scale
+        rho_g = (rho_n + dt * alpha * rho_f + dp_n / (sos_n * sos_n))             / (1.0 + dt * alpha)
+        k = alpha * (1.0 - max_mach * max_mach)
+        vel_g = (st.velocity(phys, state_n) + dt[None] * k[None] * vel_f
+                 - norm * (dp_n / rho_sos_n)[None]) / (1.0 + dt * k)[None]
+    else:
+        dp = p_f - p_g
+        rho_g = rho_f - dp / (sos_i * sos_i)
+        vel_g = vel_f - norm * (dp / rho_sos)[None]
     sub = jnp.concatenate(
         [rho_g[None] * mf_f, vel_g, p_g[None]]
         + ([interior[phys.it:]] if phys.nturb else []))
@@ -302,9 +318,10 @@ def stagnation_inlet(phys: Physics, interior, norm, data: BCData, layer):
 
 
 def pressure_outlet(phys: Physics, interior, norm, data: BCData, layer,
-                    nonreflecting_terms=None):
-    """Blazek pressure outlet (reference: ghostStates.cpp:600-670);
-    the nonreflecting (LODI) variant takes precomputed time-n terms."""
+                    state_n=None, dt=None, max_mach=None, avg_mach=None,
+                    pgrad=None, vgrad=None):
+    """Blazek pressure outlet (reference: ghostStates.cpp:600-670) with the
+    nonreflecting (LODI with transverse terms) variant."""
     pb = data.pressure
     sos_i = st.sos(phys, interior)
     rho_i = st.rho(phys, interior)
@@ -313,8 +330,33 @@ def pressure_outlet(phys: Physics, interior, norm, data: BCData, layer,
     vel_i = st.velocity(phys, interior)
     mf_i = interior[:phys.ns] / rho_i[None]
 
-    if data.nonreflecting and nonreflecting_terms is not None:
-        p_ghost = nonreflecting_terms(interior, norm, pb)
+    if data.nonreflecting and state_n is not None:
+        # LODI terms (reference: ghostStates.cpp:610-645).  vgrad convention
+        # here: vgrad[a, b] = d v_b / d x_a.
+        sigma = 0.25
+        vel_n = st.velocity(phys, state_n)
+        rho_n = st.rho(phys, state_n)
+        sos_n = st.sos(phys, state_n)
+        rho_sos_n = rho_n * sos_n
+        p_n = st.pressure(phys, state_n)
+        delta_vel = ((vel_i - vel_n) * norm).sum(axis=0)
+        k = sigma * sos_n * (1.0 - max_mach * max_mach) / data.length_scale
+        beta = avg_mach
+        pgrad_t = pgrad - (pgrad * norm).sum(axis=0)[None] * norm
+        vel_t = vel_n - (vel_n * norm).sum(axis=0)[None] * norm
+        # remove the normal component of each velocity component's gradient
+        vgrad_t = vgrad - jnp.einsum("ab...,a...->b...", vgrad, norm
+                                     )[None, :] * norm[:, None]
+        dveln_dtrans = jnp.einsum("ab...,b...->a...", vgrad_t, norm)
+        dvelt_dtrans = vgrad_t.sum(axis=(0, 1)) - dveln_dtrans.sum(axis=0)
+        mf_n = state_n[:phys.ns] / rho_n[None]
+        t_n = st.temperature(phys, state_n)
+        gam = phys.gamma(t_n, mf_n)
+        trans = -0.5 * ((vel_t * (pgrad_t
+                                  - rho_sos_n[None] * dveln_dtrans)
+                         ).sum(axis=0) + gam * p_n * dvelt_dtrans)
+        p_ghost = (p_n + rho_sos_n * delta_vel + dt * k * pb
+                   - dt * beta * trans) / (1.0 + dt * k)
     else:
         p_ghost = jnp.full_like(p_i, pb)
 

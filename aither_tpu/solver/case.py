@@ -95,9 +95,22 @@ def _surface_specs(deck: Deck, bc, g: int) -> list:
 
 
 def _initial_prim(deck: Deck, phys: Physics, block_idx: int,
-                  shape) -> np.ndarray:
-    """Nondimensional initial condition (reference: primitive.cpp:41-66)."""
+                  shape, centers=None, workdir=None) -> np.ndarray:
+    """Nondimensional initial condition (reference: primitive.cpp:41-66);
+    file-based ICs take each cell's nearest cloud-point state
+    (reference: procBlock.cpp:280-320)."""
     ic = deck.ic_for_block(block_idx)
+    if "file" in ic:
+        import os
+        from ..io.cloud import load_cloud, nearest_states
+        fname = ic["file"]
+        for d in filter(None, (workdir, os.getcwd())):
+            cand = os.path.join(d, fname)
+            if os.path.isfile(cand):
+                fname = cand
+                break
+        pts, states = load_cloud(fname, deck, phys)
+        return nearest_states(pts, states, centers)
     a, r = deck.a_ref, deck.r_ref
     rho = ic["density"] / r
     vel = [v / a for v in ic["velocity"]]
@@ -248,11 +261,12 @@ def _swap_geom_one(geos, c, acceptor, donor, direction, g, pairs=None):
             arr_a[_idx(acceptor, ghost_idx[el], a_sl[0], a_sl[1])] = plane
 
 
-def viscous_wall_face_centers(deck: Deck, geos: list) -> np.ndarray:
+def viscous_wall_face_centers(deck: Deck, geos: list,
+                              bcs=None) -> np.ndarray:
     """face centers of all viscousWall boundary faces across blocks
     (reference: utility.cpp:310 GetViscousFaceCenters)."""
     pts = []
-    for geo, bc in zip(geos, deck.bcs):
+    for geo, bc in zip(geos, bcs if bcs is not None else deck.bcs):
         g = geo.g
         dims = {"i": geo.ni, "j": geo.nj, "k": geo.nk}
         for s in bc.surfaces:
@@ -285,12 +299,8 @@ def compute_wall_distance(geo: BlockGeometry, bc, wall_pts: np.ndarray):
         return
     P = geo.phys_slice()
     centers = geo.center[P].reshape(-1, 3)
-    out = np.empty(centers.shape[0])
-    chunk = max(1, int(2e7) // max(1, wall_pts.shape[0]))
-    for s in range(0, centers.shape[0], chunk):
-        d2 = ((centers[s:s + chunk, None, :]
-               - wall_pts[None, :, :]) ** 2).sum(axis=-1)
-        out[s:s + chunk] = np.sqrt(d2.min(axis=1))
+    from ..utils.native import nearest_neighbors
+    _, out = nearest_neighbors(wall_pts, centers)
     geo.wall_dist[P] = out.reshape((geo.ni, geo.nj, geo.nk))
 
     dims = {"i": geo.ni, "j": geo.nj, "k": geo.nk}
@@ -322,6 +332,8 @@ def compute_wall_distance(geo: BlockGeometry, bc, wall_pts: np.ndarray):
 
 
 def build_case(deck_path: str, dtype=None) -> Case:
+    import os as _os
+    workdir = _os.path.dirname(_os.path.abspath(deck_path))
     import jax.numpy as jnp
     deck = parse_deck(deck_path).finalize()
     if dtype is None:
@@ -335,7 +347,17 @@ def build_case(deck_path: str, dtype=None) -> Case:
     total_cells = sum((b.shape[0] - 1) * (b.shape[1] - 1) * (b.shape[2] - 1)
                       for b in grids)
 
-    conns = conn_mod.find_connections(deck.bcs, grids, deck.bc_states)
+    return assemble_case(deck, phys, grids, deck.bcs, dtype, workdir,
+                         total_cells)
+
+
+def assemble_case(deck, phys, grids, bcs, dtype, workdir,
+                  total_cells) -> Case:
+    """Build a Case from node arrays + block BCs (shared by the fine grid
+    and the multigrid coarse levels, reference: gridLevel::Coarsen)."""
+    g = deck.num_ghosts
+    conns = conn_mod.find_connections(bcs, grids, deck.bc_states,
+                                      l_ref=deck.l_ref)
 
     # boundary ghost pass -> exact interblock ghost geometry from donor
     # nodes -> edge pass + widths (matching the reference ordering:
@@ -343,15 +365,15 @@ def build_case(deck_path: str, dtype=None) -> Case:
     from ..grid.ghost_nodes import fill_interblock_geometry
     from ..grid.geometry import finalize_block_geometry
     geos = []
-    for b, (nodes, bc) in enumerate(zip(grids, deck.bcs)):
+    for b, (nodes, bc) in enumerate(zip(grids, bcs)):
         geos.append(build_block_geometry(nodes, bc, g, finalize=False))
     fill_interblock_geometry(geos, conns, grids, g)
     for geo in geos:
         finalize_block_geometry(geo)
 
     if deck.is_viscous:
-        wall_pts = viscous_wall_face_centers(deck, geos)
-        for geo, bc in zip(geos, deck.bcs):
+        wall_pts = viscous_wall_face_centers(deck, geos, bcs=bcs)
+        for geo, bc in zip(geos, bcs):
             compute_wall_distance(geo, bc, wall_pts)
         # connection ghosts take the donor's interior wall distance
         # (reference: gridLevel::SwapWallDist)
@@ -364,15 +386,19 @@ def build_case(deck_path: str, dtype=None) -> Case:
 
     blocks = []
     for b, geo in enumerate(geos):
-        prim0 = _initial_prim(deck, phys, b, geo.shape)
+        prim0 = _initial_prim(deck, phys, b, geo.shape,
+                              centers=geo.center, workdir=workdir)
         geom = _device_geometry(geo, dtype)
         blocks.append(Block(index=b, parent=b, ni=geo.ni, nj=geo.nj,
                             nk=geo.nk, g=g, geom=geom,
-                            surfaces=_surface_specs(deck, deck.bcs[b], g),
+                            surfaces=_surface_specs(deck, bcs[b], g),
                             prim0=prim0.astype(dtype)))
 
-    return Case(deck=deck, phys=phys, blocks=blocks, connections=conns,
+    case = Case(deck=deck, phys=phys, blocks=blocks, connections=conns,
                 total_cells=total_cells, dtype=dtype)
+    case.grids = grids
+    case.bcs = bcs
+    return case
 
 
 def _device_geometry(geo: BlockGeometry, dtype):

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import step as step_mod
+from . import state as st_mod
 from . import state as st
 from . import implicit as imp
 from .case import Case, build_case
@@ -65,10 +66,21 @@ class Solver:
         self.iteration_start = 0
         if self.is_restart:
             self._load_restart(restart_path)
+        self.mg_nlevels = deck["multigridLevels"] if deck.is_implicit else 1
+        self.mg_cycle_index = 2 if deck["multigridCycle"] == "W" else 1
+        self.mg_cases = [self.case]
+        self.mg_maps = []
         if deck.is_implicit:
-            self.ictx = {b.index: imp.build_implicit_context(b)
-                         for b in self.case.blocks}
+            if self.mg_nlevels > 1:
+                from . import multigrid as mg
+                self.mg_cases, self.mg_maps = mg.build_levels(
+                    self.case, self.mg_nlevels)
+            self.mg_ictx = [
+                {b.index: imp.build_implicit_context(b) for b in c.blocks}
+                for c in self.mg_cases]
+            self.ictx = self.mg_ictx[0]
         self._iterate = jax.jit(self._iteration, static_argnames=("stage",))
+        self.bc_aux = self._zero_bc_aux()
         self.cons_n = self.store_old_solution()
         self.cons_nm1 = (dict(self.cons_n) if deck.is_multilevel_in_time
                          else {b.index: 0.0 for b in self.case.blocks})
@@ -79,11 +91,25 @@ class Solver:
                     self._restart_nm1[b.index], self.phys, self.deck,
                     mu_ref=self.phys.mu_mix_ref), self.case.dtype)
 
+    def _zero_bc_aux(self):
+        out = {}
+        for b in self.case.blocks:
+            shp = (b.ni, b.nj, b.nk)
+            out[b.index] = dict(
+                dt=jnp.zeros(shp, self.case.dtype),
+                pgrad=jnp.zeros((3,) + shp, self.case.dtype),
+                vgrad=jnp.zeros((3, 3) + shp, self.case.dtype))
+        return out
+
     # -- one nonlinear iteration (jitted) -----------------------------------
-    def _iteration(self, prims, cons_n, cons_nm1, cfl, stage: int):
+    def _iteration(self, prims, cons_n, cons_nm1, cfl, stage: int,
+                   bc_aux=None):
         phys = self.phys
         case = self.case
-        prims = step_mod.apply_all_bcs(phys, case, prims)
+        if bc_aux is None:
+            bc_aux = self._zero_bc_aux()
+        prims = step_mod.apply_all_bcs(phys, case, prims, bc_aux=bc_aux,
+                                       cons_n=cons_n)
         residuals, specrads, diags, dts = {}, {}, {}, {}
         auxs = {}
         for b in case.blocks:
@@ -103,7 +129,7 @@ class Solver:
         if self.cfg["implicit"]:
             new_prims, matrix_resid = self._implicit_update(
                 prims, residuals, specrads, diags, dts, cons_n, cons_nm1,
-                auxs)
+                auxs, cfl)
         else:
             for b in case.blocks:
                 prim = prims[b.index]
@@ -123,30 +149,53 @@ class Solver:
             bl2, blinf, bloc = step_mod.residual_norms(residuals[b.index])
             l2 = l2 + bl2
             linfs.append((blinf, bloc))
-        return new_prims, l2, linfs, matrix_resid
+        # carry dt / gradients for next iteration's nonreflecting BCs
+        new_bc_aux = {}
+        for b in case.blocks:
+            aux = auxs[b.index] or {}
+            zero = self._zero_bc_aux()[b.index]
+            new_bc_aux[b.index] = dict(
+                dt=dts[b.index],
+                pgrad=aux.get("press_grad", zero["pgrad"]),
+                vgrad=aux.get("vel_grad", zero["vgrad"]))
+        return new_prims, l2, linfs, matrix_resid, new_bc_aux
 
     # -- implicit path (reference: mgSolution::ImplicitUpdate) ---------------
-    def _implicit_update(self, prims, residuals, specrads, diags, dts,
-                         cons_n, cons_nm1, auxs):
-        phys = self.phys
-        case = self.case
-        cfg = self.cfg
+    def _setup_linear(self, lvl, prims, residuals, specrads, diags, dts,
+                      auxs, cons_n, cons_nm1, matrix_init):
+        """Diagonal (+inverse), rhs b, and initial update per block
+        (reference: linearSolver::AddDiagonalTerms / Invert /
+        InitializeMatrixUpdate).  The main diagonal is only zeroed after the
+        whole multigrid cycle (mgSolution.cpp:236-239 ResetDiagonal), so a
+        coarse level revisited within a W cycle ACCUMULATES its diagonal on
+        top of the previous visit's relaxed value — replicated via the
+        per-level carry."""
+        phys, cfg = self.phys, self.cfg
+        case = self.mg_cases[lvl]
         g = case.blocks[0].g
-
-        inv_diag, a_diag, bs = {}, {}, {}
-        dus = {}
+        carry = self._mg_diag_carry.get(lvl)
+        inv_diag, a_diag, bs, dus = {}, {}, {}, {}
         for b in case.blocks:
             dt = dts[b.index]
             if cfg["block_matrix"]:
                 aux = auxs[b.index]
+                dfb, dtb = aux["diag_flow_blk"], aux["diag_turb_blk"]
+                if carry is not None:
+                    dfb = dfb + carry[b.index][0]
+                    if dtb is not None and carry[b.index][1] is not None:
+                        dtb = dtb + carry[b.index][1]
                 (af, at), (inv_flow, inv_turb) = imp.build_block_diagonal(
-                    phys, b, cfg, aux["diag_flow_blk"], aux["diag_turb_blk"],
-                    specrads[b.index], dt)
+                    phys, b, cfg, dfb, dtb, specrads[b.index], dt)
                 inv_diag[b.index] = (inv_flow, inv_turb)
                 a_diag[b.index] = (af, at)
             else:
+                df, dtu = diags[b.index]
+                if carry is not None:
+                    df = df + carry[b.index][0]
+                    if dtu is not None and carry[b.index][1] is not None:
+                        dtu = dtu + carry[b.index][1]
                 inv_flow, inv_turb = imp.build_diagonal(
-                    phys, b, cfg, diags[b.index][0], diags[b.index][1],
+                    phys, b, cfg, df, dtu,
                     specrads[b.index], dt)
                 inv_diag[b.index] = (inv_flow, inv_turb)
                 a_diag[b.index] = (1.0 / inv_flow,
@@ -157,23 +206,37 @@ class Solver:
                                     cons_nm1[b.index], dt)
             shape = (phys.neq,) + b.shape
             du = jnp.zeros(shape, self.case.dtype)
-            if cfg["matrix_init"]:
+            if matrix_init:
                 x0 = imp.diag_mult(phys, inv_flow, inv_turb, bs[b.index])
                 P = (slice(None), slice(g, g + b.ni), slice(g, g + b.nj),
                      slice(g, g + b.nk))
                 du = du.at[P].set(x0)
             dus[b.index] = du
+        self._mg_diag_carry[lvl] = a_diag
+        return inv_diag, a_diag, bs, dus
 
-        def swap(d):
-            for conn in case.connections:
-                d = step_mod.swap_connection_states(phys, case.blocks, d,
-                                                    conn, g)
-            return d
+    def _swap_level(self, lvl, d):
+        case = self.mg_cases[lvl]
+        g = case.blocks[0].g
+        for conn in case.connections:
+            d = step_mod.swap_connection_states(self.phys, case.blocks, d,
+                                                conn, g)
+        return d
 
+    def _relax(self, lvl, st, sweeps):
+        """LU-SGS / DPLUR relaxation sweeps at one grid level
+        (reference: lusgs::Relax / dplur::Relax)."""
+        phys, cfg = self.phys, self.cfg
+        case = self.mg_cases[lvl]
         solver = cfg["matrix_solver"]
-        sweeps = cfg["matrix_sweeps"]
+        prims, auxs = st["prims"], st["auxs"]
+        inv_diag, dus = st["inv_diag"], st["dus"]
+        forcing = st.get("forcing")
+        bs_eff = {bi: st["bs"][bi] + (forcing[bi] if forcing else 0.0)
+                  for bi in st["bs"]}
+
         def inv_skews(b):
-            ctx = self.ictx[b.index]
+            ctx = self.mg_ictx[lvl][b.index]
             fn = (imp.skew_from_physical_blk if cfg["block_matrix"]
                   else imp.skew_from_physical)
             if_skew = fn(ctx, inv_diag[b.index][0])
@@ -183,20 +246,20 @@ class Solver:
 
         if solver in ("lusgs", "blusgs"):
             for sweep in range(sweeps):
-                dus = swap(dus)
-                with_extra = sweep > 0 or cfg["matrix_init"]
+                dus = self._swap_level(lvl, dus)
+                with_extra = sweep > 0 or cfg["matrix_init"] or lvl > 0
                 for b in case.blocks:
-                    ctx = self.ictx[b.index]
-                    b_skew = imp.skew_from_physical(ctx, bs[b.index])
+                    ctx = self.mg_ictx[lvl][b.index]
+                    b_skew = imp.skew_from_physical(ctx, bs_eff[b.index])
                     if_skew, it_skew = inv_skews(b)
                     dus[b.index] = imp.lusgs_forward(
                         phys, cfg, b, ctx, prims[b.index], dus[b.index],
                         b_skew, if_skew, it_skew, with_extra,
                         aux=auxs[b.index])
-                dus = swap(dus)
+                dus = self._swap_level(lvl, dus)
                 for b in case.blocks:
-                    ctx = self.ictx[b.index]
-                    b_skew = imp.skew_from_physical(ctx, bs[b.index])
+                    ctx = self.mg_ictx[lvl][b.index]
+                    b_skew = imp.skew_from_physical(ctx, bs_eff[b.index])
                     if_skew, it_skew = inv_skews(b)
                     dus[b.index] = imp.lusgs_backward(
                         phys, cfg, b, ctx, prims[b.index], dus[b.index],
@@ -204,26 +267,176 @@ class Solver:
                         aux=auxs[b.index])
         elif solver in ("dplur", "bdplur"):
             for sweep in range(sweeps):
-                dus = swap(dus)
+                dus = self._swap_level(lvl, dus)
                 for b in case.blocks:
-                    ctx = self.ictx[b.index]
+                    ctx = self.mg_ictx[lvl][b.index]
                     dus[b.index] = imp.dplur_sweep(
                         phys, cfg, b, ctx, prims[b.index], dus[b.index],
-                        bs[b.index], *inv_diag[b.index],
+                        bs_eff[b.index], *inv_diag[b.index],
                         aux=auxs[b.index])
         else:
             raise ValueError(f"unknown matrix solver {solver!r}")
+        st["dus"] = self._swap_level(lvl, dus)
+        return st
 
-        dus = swap(dus)
+    def _matrix_resid_field(self, lvl, st):
+        """f - (A x - b) per block (reference: linearSolver::Residual)."""
+        phys, cfg = self.phys, self.cfg
+        case = self.mg_cases[lvl]
+        forcing = st.get("forcing")
+        out = {}
+        for b in case.blocks:
+            ctx = self.mg_ictx[lvl][b.index]
+            out[b.index] = imp.matrix_residual(
+                phys, cfg, b, ctx, st["prims"][b.index], st["dus"][b.index],
+                st["bs"][b.index], st["a_diag"][b.index][0],
+                st["a_diag"][b.index][1], aux=st["auxs"][b.index],
+                forcing=forcing[b.index] if forcing else None)
+        return out
+
+    def _level_state(self, lvl, prims_int, cfl):
+        """BCs + residual + time step on a coarse level from restricted
+        interior states (reference: gridLevel::Restriction midsection)."""
+        phys, cfg = self.phys, self.cfg
+        case = self.mg_cases[lvl]
+        g = case.blocks[0].g
+        prims = {}
+        for b in case.blocks:
+            pad = jnp.asarray(b.prim0, self.case.dtype)
+            P = (slice(None), slice(g, g + b.ni), slice(g, g + b.nj),
+                 slice(g, g + b.nk))
+            prims[b.index] = pad.at[P].set(prims_int[b.index])
+        prims = step_mod.apply_all_bcs(phys, case, prims)
+        residuals, specrads, dts, auxs, diags = {}, {}, {}, {}, {}
+        cons_n = {}
+        for b in case.blocks:
+            (resid, sr_f, sr_t, dg_f, dg_t, _, prim_v,
+             aux) = step_mod.full_residual(phys, cfg, b, prims[b.index])
+            prims[b.index] = prim_v
+            auxs[b.index] = aux
+            residuals[b.index] = resid
+            sr_max = jnp.maximum(sr_f, sr_t) if phys.nturb else sr_f
+            specrads[b.index] = sr_max
+            diags[b.index] = (dg_f, dg_t)
+            dts[b.index] = step_mod.local_dt(cfg, b.geom, sr_max, b.g,
+                                             (b.ni, b.nj, b.nk), cfl)
+            P = (slice(None), slice(g, g + b.ni), slice(g, g + b.nj),
+                 slice(g, g + b.nk))
+            cons_n[b.index] = st_mod.cons_from_prim(phys, prims[b.index][P])
+        return prims, residuals, specrads, diags, dts, auxs, cons_n
+
+    def _restrict_level(self, lvl, st, resid_field, cfl):
+        """Build the coarse-level solve state (reference:
+        gridLevel::Restriction)."""
+        from . import multigrid as mg
+        phys, cfg = self.phys, self.cfg
+        fine = self.mg_cases[lvl]
+        coarse = self.mg_cases[lvl + 1]
+        maps = self.mg_maps[lvl]
+        gf = fine.blocks[0].g
+        gc = coarse.blocks[0].g
+
+        prims_c_int, dus_c, force_r = {}, {}, {}
+        for b in fine.blocks:
+            lm = maps[b.index]
+            cb = coarse.blocks[b.index]
+            cshape = (cb.ni, cb.nj, cb.nk)
+            Pf = (slice(None), slice(gf, gf + b.ni), slice(gf, gf + b.nj),
+                  slice(gf, gf + b.nk))
+            prims_c_int[b.index] = mg.restrict_weighted(
+                st["prims"][b.index][Pf], lm, cshape)
+            du_c = jnp.zeros((phys.neq,) + cb.shape, self.case.dtype)
+            Pc = (slice(None), slice(gc, gc + cb.ni), slice(gc, gc + cb.nj),
+                  slice(gc, gc + cb.nk))
+            du_c = du_c.at[Pc].set(mg.restrict_weighted(
+                st["dus"][b.index][Pf], lm, cshape))
+            dus_c[b.index] = du_c
+            force_r[b.index] = mg.restrict_sum(resid_field[b.index], lm,
+                                               cshape)
+        dus_c = self._swap_level(lvl + 1, dus_c)
+
+        (prims_c, residuals_c, specrads_c, diags_c, dts_c, auxs_c,
+         cons_n_c) = self._level_state(lvl + 1, prims_c_int, cfl)
+        inv_diag_c, a_diag_c, bs_c, _ = self._setup_linear(
+            lvl + 1, prims_c, residuals_c, specrads_c, diags_c, dts_c,
+            auxs_c, cons_n_c, cons_n_c, matrix_init=False)
+
+        cs = dict(prims=prims_c, auxs=auxs_c, inv_diag=inv_diag_c,
+                  a_diag=a_diag_c, bs=bs_c, dus=dus_c, forcing=None)
+        # forcing = (A_c x_c - b_c) + restrict(fine matrix residual)
+        neg_axmb = self._matrix_resid_field(lvl + 1, cs)
+        self._mg_trace("axmb", lvl + 1, {bi: -neg_axmb[bi] for bi in neg_axmb})
+        self._mg_trace("force_r", lvl + 1, force_r)
+        cs["forcing"] = {bi: -neg_axmb[bi] + force_r[bi] for bi in neg_axmb}
+        return cs
+
+    def _mg_trace(self, stage, lvl, d):
+        tr = getattr(self, "_mg_trace_log", None)
+        if tr is not None:
+            tr.append((stage, lvl, {k: v for k, v in d.items()}))
+
+    def _mg_cycle(self, lvl, st, cfl):
+        """FAS V/W cycle (reference: mgSolution::CycleAtLevel)."""
+        from . import multigrid as mg
+        sweeps = self.cfg["matrix_sweeps"]
+        if lvl == self.mg_nlevels - 1:
+            return self._relax(lvl, st, sweeps)
+        pre = max(sweeps // 2, 1)
+        st = self._relax(lvl, st, pre)
+        self._mg_trace("prerelax", lvl, st["dus"])
+        resid_field = self._matrix_resid_field(lvl, st)
+        cs = self._restrict_level(lvl, st, resid_field, cfl)
+        self._mg_trace("postrestrict", lvl + 1, cs["dus"])
+        self._mg_trace("forcing", lvl + 1, cs["forcing"])
+        du_c0 = dict(cs["dus"])
+        for _ in range(self.mg_cycle_index):
+            cs = self._mg_cycle(lvl + 1, cs, cfl)
+        # prolong the coarse correction to the fine update
+        fine = self.mg_cases[lvl]
+        coarse = self.mg_cases[lvl + 1]
+        maps = self.mg_maps[lvl]
+        gf = fine.blocks[0].g
+        gc = coarse.blocks[0].g
+        for b in fine.blocks:
+            cb = coarse.blocks[b.index]
+            Pc = (slice(None), slice(gc, gc + cb.ni), slice(gc, gc + cb.nj),
+                  slice(gc, gc + cb.nk))
+            corr = (cs["dus"][b.index] - du_c0[b.index])[Pc]
+            fine_corr = mg.prolong(corr, maps[b.index])
+            Pf = (slice(None), slice(gf, gf + b.ni), slice(gf, gf + b.nj),
+                  slice(gf, gf + b.nk))
+            st["dus"][b.index] = st["dus"][b.index].at[Pf].add(fine_corr)
+        self._mg_trace("corr", lvl + 1,
+                       {bi: cs["dus"][bi] - du_c0[bi] for bi in du_c0})
+        self._mg_trace("postprolong", lvl, st["dus"])
+        st["dus"] = self._swap_level(lvl, st["dus"])
+        return self._relax(lvl, st, pre)
+
+    def _implicit_update(self, prims, residuals, specrads, diags, dts,
+                         cons_n, cons_nm1, auxs, cfl):
+        phys = self.phys
+        case = self.case
+        cfg = self.cfg
+        g = case.blocks[0].g
+        self._mg_diag_carry = {}
+        inv_diag, a_diag, bs, dus = self._setup_linear(
+            0, prims, residuals, specrads, diags, dts, auxs, cons_n,
+            cons_nm1, matrix_init=cfg["matrix_init"])
+        st = dict(prims=prims, auxs=auxs, inv_diag=inv_diag, a_diag=a_diag,
+                  bs=bs, dus=dus, forcing=None)
+
+        if self.mg_nlevels == 1:
+            st = self._relax(0, st, cfg["matrix_sweeps"])
+        else:
+            st = self._mg_cycle(0, st, cfl)
+        dus = st["dus"]
+
         mr_sum = jnp.zeros((), self.case.dtype)
         mr_count = 0
         new_prims = {}
+        mrf = self._matrix_resid_field(0, st)
         for b in case.blocks:
-            ctx = self.ictx[b.index]
-            mr = imp.matrix_residual(phys, cfg, b, ctx, prims[b.index],
-                                     dus[b.index], bs[b.index],
-                                     a_diag[b.index][0], a_diag[b.index][1],
-                                     aux=auxs[b.index])
+            mr = mrf[b.index]
             mr_sum = mr_sum + (mr * mr).sum()
             # reference divides by the padded array size (ghost entries are
             # zero): mgSolution.cpp:199-207 accumulates over the full
@@ -279,18 +492,80 @@ class Solver:
     def write_output(self, iteration):
         from ..io import output as out_mod
         deck = self.deck
+        phys = self.phys
         prims = [np.asarray(self._interior(self.prims[b.index], b))
                  for b in self.case.blocks]
+        # derived fields (gradients / residual / dt / eddy viscosity / wall
+        # data) come from one residual evaluation at the current state; the
+        # reference stores the equivalents on the block during the last
+        # iteration (procBlock.hpp:100-121)
+        names = list(deck.output_variables)
+        need_fields = any(
+            n.endswith(("Grad_x", "Grad_y", "Grad_z")) or
+            n.startswith(("velGrad_", "resid_")) or
+            n in ("dt", "f1", "f2", "turbulentViscosity", "viscosityRatio")
+            for n in names)
+        wall_names = deck.wall_output_variables \
+            if hasattr(deck, "wall_output_variables") else []
         auxs = []
+        wall_blocks = []
+        full_prims = step_mod.apply_all_bcs(phys, self.case, dict(self.prims),
+                                            bc_aux=self.bc_aux,
+                                            cons_n=self.cons_n)
         for b in self.case.blocks:
             g = b.g
             P = tuple(slice(g, g + n) for n in (b.ni, b.nj, b.nk))
-            auxs.append({"wall_dist": np.asarray(b.geom["wall_dist"][P])})
-        names = deck.output_variables
-        out_mod.write_fun_file(f"{self.sim_root}_{iteration}.fun", names,
-                               prims, self.phys, deck, auxs)
+            aux = {"wall_dist": np.asarray(b.geom["wall_dist"][P])}
+            if (need_fields or wall_names) and (self.cfg["viscous"]
+                                                or self.cfg["implicit"]):
+                (resid, sr_f, sr_t, _, _, _, prim_v,
+                 full_aux) = step_mod.full_residual(phys, self.cfg, b,
+                                                    full_prims[b.index])
+                sr = jnp.maximum(sr_f, sr_t) if phys.nturb else sr_f
+                cfl = self.deck.cfl(max(iteration - 1, 0))
+                aux["dt"] = np.asarray(step_mod.local_dt(
+                    self.cfg, b.geom, sr, g, (b.ni, b.nj, b.nk), cfl))
+                aux["resid"] = np.asarray(resid)
+                if full_aux and "cellavg" in full_aux:
+                    ca = full_aux["cellavg"]
+                    aux["cellavg"] = {k: np.asarray(v) for k, v in ca.items()
+                                      if k not in ("wall_out", "mix")}
+                    aux["mut"] = aux["cellavg"]["mut"]
+                    aux["f1"] = aux["cellavg"]["f1"]
+                    aux["f2"] = aux["cellavg"]["f2"]
+                    if wall_names:
+                        for spec in b.surfaces:
+                            if spec.bc_type != "viscousWall":
+                                continue
+                            wd = ca["wall_out"].get(id(spec))
+                            if wd is None:
+                                continue
+                            fc = self._wall_face_centers(b, spec)
+                            wall_blocks.append((b.index, spec, fc, wd))
+            auxs.append(aux)
+        out_mod.write_fun_file(f"{self.sim_root}_{iteration}_center.fun",
+                               names, prims, self.phys, deck, auxs)
         out_mod.write_meta(f"{self.sim_root}_center.p3d", self.sim_root,
                            deck["gridName"], iteration, names)
+        if wall_names and wall_blocks:
+            out_mod.write_wall_files(self.sim_root, deck["gridName"],
+                                     iteration, self.case, wall_blocks,
+                                     wall_names)
+
+    def _wall_face_centers(self, b, spec):
+        """face centers (n1, n2, 3) of a viscousWall surface patch."""
+        g = b.g
+        d = spec.direction
+        fc = np.asarray(b.geom[f"fc_{d}"])
+        pos = g if spec.lower else g + {"i": b.ni, "j": b.nj,
+                                        "k": b.nk}[d]
+        sl = [slice(None)] * 4
+        sl[1 + spec.axis] = pos
+        taxes = [a for a in range(3) if a != spec.axis]
+        for a, (lo, hi) in zip(taxes, spec.patch):
+            sl[1 + a] = slice(lo, hi)
+        out = fc[tuple(sl)]
+        return np.moveaxis(out, 0, -1)
 
     def write_grid_center(self):
         from ..io import output as out_mod
@@ -410,10 +685,10 @@ class Solver:
                 self.cons_nm1 = dict(self.cons_n)
             rk4 = self.cfg["time_integration"] == "rk4"
             for mm in range(nl_iters):
-                prims, l2, linfs, matrix_resid = self._iterate(
+                prims, l2, linfs, matrix_resid, self.bc_aux = self._iterate(
                     self.prims, self.cons_n, self.cons_nm1,
                     jnp.asarray(cfl, self.case.dtype),
-                    stage=mm if rk4 else 0)
+                    stage=mm if rk4 else 0, bc_aux=self.bc_aux)
                 self.prims = prims
                 l2 = np.sqrt(np.asarray(l2))
                 linf_val, linf_loc = self._decode_linf(linfs)

@@ -63,7 +63,8 @@ def boundary_normal(geom, spec, g, n):
 
 
 def apply_boundary_ghosts(phys: Physics, block, prim, viscous_pass=False,
-                          mu_all=None, cfg=None, wall_data=None):
+                          mu_all=None, cfg=None, wall_data=None,
+                          bc_aux=None, cons_n=None):
     """Assign ghost states for all non-connection surfaces
     (reference: procBlock.cpp:2449-2563).  For the inviscid pass
     viscousWall degrades to slipWall; the viscous pass re-does viscousWall
@@ -104,6 +105,33 @@ def apply_boundary_ghosts(phys: Physics, block, prim, viscous_pass=False,
                         wall_data[id(spec)] = wv
             else:
                 src = icell if bct == "slipWall" else acell
+                if (bct in ("inlet", "pressureOutlet") and spec.data is not None
+                        and spec.data.nonreflecting and bc_aux is not None):
+                    # LODI data at the adjacent cell: time-n state, previous
+                    # iteration's dt and gradients, patch Mach statistics
+                    # (reference: procBlock.cpp:2504-2516, 6236-6262)
+                    ppatch = tuple(slice(lo - g, hi - g) for lo, hi in
+                                   spec.patch)
+                    apos = 0 if spec.lower else n - 1
+                    isl = [None, None, None]
+                    isl[spec.axis] = apos
+                    taxes = [a2 for a2 in range(3) if a2 != spec.axis]
+                    for a2, ps in zip(taxes, ppatch):
+                        isl[a2] = ps
+                    isl = tuple(isl)
+                    from . import state as _st
+                    cn = cons_n[(slice(None),) + isl]
+                    state_n = _st.prim_from_cons(phys, cn)
+                    adj = prim[_plane(prim, ax, acell, spec.patch)]
+                    vn_a = (st.velocity(phys, adj) * norm).sum(axis=0)
+                    mach_a = vn_a / st.sos(phys, adj)
+                    kw["state_n"] = state_n
+                    kw["dt"] = bc_aux["dt"][isl]
+                    kw["max_mach"] = mach_a.max()
+                    kw["avg_mach"] = mach_a.mean()
+                    kw["pgrad"] = bc_aux["pgrad"][(slice(None),) + isl]
+                    kw["vgrad"] = bc_aux["vgrad"][
+                        (slice(None), slice(None)) + isl]
             interior = prim[_plane(prim, ax, src, spec.patch)]
             ghost = bc_mod.ghost_state(phys, bct, interior, norm, spec.data,
                                        layer, **kw)
@@ -350,12 +378,16 @@ def swap_connection_states(phys: Physics, blocks, prims, conn, g):
     return out
 
 
-def apply_all_bcs(phys: Physics, case, prims):
+def apply_all_bcs(phys: Physics, case, prims, bc_aux=None, cons_n=None):
     """Full ghost update: boundary surfaces, connection swaps, edges
     (reference ordering: procBlock::GetBoundaryConditions →
-    gridLevel.cpp:287-370)."""
-    prims = {b.index: apply_boundary_ghosts(phys, b, prims[b.index])
-             for b in case.blocks}
+    gridLevel.cpp:287-370).  bc_aux/cons_n feed the nonreflecting (LODI)
+    BCs with previous-iteration dt/gradients and the time-n state."""
+    prims = {b.index: apply_boundary_ghosts(
+        phys, b, prims[b.index],
+        bc_aux=None if bc_aux is None else bc_aux.get(b.index),
+        cons_n=None if cons_n is None else cons_n.get(b.index))
+        for b in case.blocks}
     g = case.blocks[0].g
     for conn in case.connections:
         prims = swap_connection_states(phys, case.blocks, prims, conn, g)
@@ -494,7 +526,9 @@ def full_residual(phys: Physics, cfg, block, prim):
         P = tuple(slice(g, g + n) for n in (block.ni, block.nj, block.nk))
         mut_pad = jnp.zeros_like(mu_all).at[P].set(cellavg["mut"])
         f1_pad = jnp.zeros_like(mu_all).at[P].set(cellavg["f1"])
-        aux = {"mu": mu_all, "mut": mut_pad, "f1": f1_pad}
+        aux = {"mu": mu_all, "mut": mut_pad, "f1": f1_pad,
+               "press_grad": cellavg["press"], "vel_grad": cellavg["vel"],
+               "cellavg": cellavg}
 
     if phys.chemistry is not None:
         # reacting chemistry source terms (reference: procBlock.cpp:5956-6000,

@@ -451,14 +451,15 @@ def viscous_residual(phys: Physics, cfg, block, prim, t_all, mu_all,
 
     P = tuple(slice(g, g + dims[dd]) for dd in "ijk")
 
-    def _wall_law_slabs(d, nf_shape_len=None):
-        """(spec, face-array index tuple, sign) for wall-law surfaces on
-        axis d (reference: procBlock.cpp:1270-1305 wall-law flux branch)."""
+    def _wall_slabs(d, wall_law_only):
+        """(spec, face-array index tuple, sign) for viscousWall surfaces on
+        axis d (reference: procBlock.cpp:1270-1305)."""
         out = []
         for spec in block.surfaces:
-            if (spec.bc_type != "viscousWall" or spec.data is None
-                    or not spec.data.wall_law
-                    or spec.direction != d
+            if spec.bc_type != "viscousWall" or spec.direction != d:
+                continue
+            if wall_law_only and (
+                    spec.data is None or not spec.data.wall_law
                     or wall_data is None or id(spec) not in wall_data):
                 continue
             pos = 0 if spec.lower else dims[d]
@@ -469,6 +470,11 @@ def viscous_residual(phys: Physics, cfg, block, prim, t_all, mu_all,
                 sl[a] = slice(lo - g, hi - g)
             out.append((spec, tuple(sl), 1.0 if spec.lower else -1.0))
         return out
+
+    def _wall_law_slabs(d):
+        return _wall_slabs(d, True)
+
+    wall_out = {}
 
     for d in "ijk":
         ax = 1 + AX[d]
@@ -632,6 +638,55 @@ def viscous_residual(phys: Physics, cfg, block, prim, t_all, mu_all,
                 flux = flux.at[(phys.it + 1,) + sl].set(
                     jnp.where(lr, flux[(phys.it + 1,) + sl], tw_wl))
 
+        # wall data for every viscousWall surface (reference:
+        # procBlock.cpp:1340-1380 CalcWallFlux storage; wall-law surfaces
+        # keep the wall-law solve's values, wallData.hpp:40-115)
+        for spec, sl, sgn in _wall_slabs(d, False):
+            esl = (slice(None),) + sl
+            qw_f = qf[esl]
+            rho_f = st.rho(phys, qw_f)
+            t_f = st.temperature(phys, qw_f)
+            tau_f = tau[esl]
+            tau_mag = jnp.sqrt((tau_f * tau_f).sum(axis=0))
+            ustar = jnp.sqrt(tau_mag / rho_f)
+            mu_f = mu_s[sl]
+            mut_f = mut_s[sl]
+            kt_f = kt[sl] if is_turb else 0.0
+            qflux = (k_eff[sl] + kt_f) * (tgrad * nvec).sum(axis=0)[sl]
+            # wall distance of the boundary-adjacent cell
+            acell = g if spec.lower else g + dims[d] - 1
+            asl = [None, None, None]
+            asl[AX[d]] = acell
+            taxes = [a2 for a2 in range(3) if a2 != AX[d]]
+            for a2, (plo, phi) in zip(taxes, spec.patch):
+                asl[a2] = slice(plo, phi)
+            ydist = wd_all[tuple(asl)]
+            entry = dict(tau=tau_f, q=qflux, rho=rho_f, t=t_f, mu=mu_f,
+                         mut=mut_f, u_star=ustar,
+                         yplus=ydist * ustar * rho_f / (mu_f + mut_f),
+                         tke=qw_f[phys.it] if is_rans else None,
+                         sdr=qw_f[phys.it + 1] if is_rans else None)
+            if (wall_data is not None and id(spec) in wall_data
+                    and spec.data is not None and spec.data.wall_law):
+                wv = wall_data[id(spec)]
+                lr = wv["low_re"]
+                for key, wl_key in (("tau", "tau"), ("q", "q"),
+                                    ("rho", "rho"), ("t", "t"), ("mu", "mu"),
+                                    ("mut", "mut"), ("u_star", "u_star"),
+                                    ("yplus", "yplus"), ("tke", "tke"),
+                                    ("sdr", "sdr")):
+                    if entry[key] is None:
+                        continue
+                    wlv = wv[wl_key]
+                    if key == "tau":
+                        wlv = sgn * wlv
+                        entry[key] = jnp.where(lr[None], entry[key], wlv)
+                    elif wl_key in ("tke", "sdr") and not is_rans:
+                        pass
+                    else:
+                        entry[key] = jnp.where(lr, entry[key], wlv)
+            wall_out[id(spec)] = entry
+
         fa = flux * mag[None]
         lo = [slice(None)] * 4
         hi = [slice(None)] * 4
@@ -713,6 +768,7 @@ def viscous_residual(phys: Physics, cfg, block, prim, t_all, mu_all,
             sr_turb = sr_turb + visc_coeff * tvsr
             diag_turb = diag_turb + 2.0 * tvsr
 
+    cellavg["wall_out"] = wall_out
     return (resid, sr_flow, sr_turb, diag_flow, diag_turb, cellavg,
             diag_flow_blk, diag_turb_blk)
 

@@ -45,7 +45,7 @@ def test_sharded_step_matches_single_block(box):
     cons_n = {0: st.cons_from_prim(solver.phys, prims[0][P])}
     cons_nm1 = {0: 0.0}
     cfl = solver.deck.cfl(0)
-    new_prims, l2, linfs, mr = solver._iteration(prims, cons_n, cons_nm1,
+    new_prims, l2, linfs, mr, _aux = solver._iteration(prims, cons_n, cons_nm1,
                                                  cfl, 0)
     want = np.asarray(new_prims[0])[P]
 
