@@ -521,7 +521,9 @@ def lusgs_forward(phys: Physics, cfg, block, ctx, prim, du_padded, b_skew,
         return plane, plane
 
     carry0 = du_skew[:, 0]
-    _, planes = jax.lax.scan(body, carry0, jnp.arange(1, P))
+    # unroll amortizes the TPU while-loop per-step overhead over several
+    # hyperplanes (the planes are tiny; dispatch dominates)
+    _, planes = jax.lax.scan(body, carry0, jnp.arange(1, P), unroll=8)
     # planes: (P-1, neq, J2, K2); prepend plane 0
     all_planes = jnp.concatenate([du_skew[:, :1],
                                   jnp.moveaxis(planes, 0, 1)], axis=1)
@@ -589,7 +591,8 @@ def lusgs_backward(phys: Physics, cfg, block, ctx, prim, du_padded, b_skew,
         return plane, plane
 
     carry0 = du_skew[:, P - 1]
-    _, planes = jax.lax.scan(body, carry0, jnp.arange(P - 2, -1, -1))
+    _, planes = jax.lax.scan(body, carry0, jnp.arange(P - 2, -1, -1),
+                             unroll=8)
     all_planes = jnp.concatenate(
         [jnp.moveaxis(planes, 0, 1)[:, ::-1], du_skew[:, P - 1:]], axis=1)
     x = unskew(ctx, all_planes)

@@ -77,7 +77,7 @@ def main():
     p = out[0]
     t0 = time.perf_counter()
     for _ in range(TIMED):
-        p, l2, linfs, mr = solver._iterate(p, cons_n, cons_nm1, cfl, 0)
+        p, l2, linfs, mr, _aux = solver._iterate(p, cons_n, cons_nm1, cfl, 0)
     jax.block_until_ready(p)
     dt = time.perf_counter() - t0
 
