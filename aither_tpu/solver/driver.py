@@ -124,6 +124,31 @@ class Solver:
             dts[b.index] = step_mod.local_dt(self.cfg, b.geom, sr_max, b.g,
                                              (b.ni, b.nj, b.nk), cfl)
 
+        # connection swaps of eddy viscosity / f1 / velocity gradients so
+        # the implicit off-diagonals see donor values at connection ghosts
+        # (reference: gridLevel.cpp:343-395 SwapEddyViscAndGradients +
+        # SwapTurbVars, procBlock.cpp:3057-3084)
+        if (self.cfg["implicit"] and self.cfg["viscous"]
+                and case.connections and auxs[case.blocks[0].index]):
+            g = case.blocks[0].g
+            keys = ["mut"] + (["f1"] if phys.nturb else [])
+            for key in keys:
+                field = {bi: auxs[bi][key][None] for bi in auxs}
+                for conn in case.connections:
+                    field = step_mod.swap_connection_states(
+                        phys, case.blocks, field, conn, g)
+                for bi in auxs:
+                    auxs[bi][key] = field[bi][0]
+            if self.cfg["block_matrix"]:
+                field = {bi: auxs[bi]["vgrad"].reshape(
+                    (9,) + auxs[bi]["vgrad"].shape[2:]) for bi in auxs}
+                for conn in case.connections:
+                    field = step_mod.swap_connection_states(
+                        phys, case.blocks, field, conn, g)
+                for bi in auxs:
+                    auxs[bi]["vgrad"] = field[bi].reshape(
+                        (3, 3) + field[bi].shape[1:])
+
         matrix_resid = jnp.zeros((), self.case.dtype)
         new_prims = {}
         if self.cfg["implicit"]:
