@@ -178,7 +178,12 @@ class Physics:
 
     # ---- per-species constant arrays (numpy; become jit constants) ----------
     def _c(self, vals, ndim):
-        return np.asarray(vals, dtype=np.float64).reshape(_bshape(ndim))
+        arr = np.asarray(vals, dtype=np.float64)
+        if arr.size == 1:
+            # scalar constants fold into compiled code (and keep Pallas
+            # kernels free of captured array constants)
+            return float(arr.reshape(-1)[0])
+        return arr.reshape(_bshape(ndim))
 
     # ---- thermodynamics ------------------------------------------------------
     def species_cv(self, t):

@@ -68,7 +68,9 @@ def offdiagonal_scalar(phys: Physics, cfg, q_nb, du_nb, n, mag, positive,
     dflux = 0.5 * mag[None] * (physical_flux(phys, q_up, n)
                                - physical_flux(phys, q_nb, n))
     if phys.nturb:
-        dflux = dflux.at[phys.it:].set(0.0)
+        # concatenate instead of .at[].set: scatter has no Pallas lowering
+        dflux = jnp.concatenate(
+            [dflux[:phys.it], jnp.zeros_like(dflux[phys.it:])])
     sr = face_spectral_radius(phys, q_nb, n, mag, dist, mu, mut,
                               cfg.get("viscous", False))
     term = sr[None] * du_nb
@@ -90,7 +92,8 @@ def offdiagonal_scalar(phys: Physics, cfg, q_nb, du_nb, n, mag, positive,
                 sk = sigma_k(model, f1)
             sr_t = sr_t + phys.nondim_scaling * (mag / dist) / r * (
                 mu + sk * mutx)
-        term = term.at[phys.it:].set(sr_t[None] * du_nb[phys.it:])
+        term = jnp.concatenate([term[:phys.it],
+                                sr_t[None] * du_nb[phys.it:]])
     return dflux + term if positive else dflux - term
 
 
@@ -332,7 +335,8 @@ def diag_mult(phys: Physics, inv_flow, inv_turb, x):
         return bj.block_matvec(inv_flow, inv_turb, x, phys)
     out = x * inv_flow[None]
     if phys.nturb and inv_turb is not None:
-        out = out.at[phys.it:].set(x[phys.it:] * inv_turb[None])
+        out = jnp.concatenate([out[:phys.it],
+                               x[phys.it:] * inv_turb[None]])
     return out
 
 
@@ -521,9 +525,17 @@ def lusgs_forward(phys: Physics, cfg, block, ctx, prim, du_padded, b_skew,
         return plane, plane
 
     carry0 = du_skew[:, 0]
-    # unroll amortizes the TPU while-loop per-step overhead over several
-    # hyperplanes (the planes are tiny; dispatch dominates)
-    _, planes = jax.lax.scan(body, carry0, jnp.arange(1, P), unroll=8)
+    from . import pallas_sweep as ps
+    if ps.use_pallas(cfg, du_padded.dtype, phys.ns):
+        packed, offs = ps.pack_sweep_inputs(
+            phys, cfg, low, b_skew, U_term if with_upper else None, du_skew,
+            valid, inv_flow_skew, inv_turb_skew, du_padded.dtype)
+        planes = ps.sweep(phys, cfg, packed, offs, carry0, forward=True,
+                          with_extra=with_upper)
+    else:
+        # unroll amortizes the TPU while-loop per-step overhead over
+        # several hyperplanes (the planes are tiny; dispatch dominates)
+        _, planes = jax.lax.scan(body, carry0, jnp.arange(1, P), unroll=8)
     # planes: (P-1, neq, J2, K2); prepend plane 0
     all_planes = jnp.concatenate([du_skew[:, :1],
                                   jnp.moveaxis(planes, 0, 1)], axis=1)
@@ -591,10 +603,21 @@ def lusgs_backward(phys: Physics, cfg, block, ctx, prim, du_padded, b_skew,
         return plane, plane
 
     carry0 = du_skew[:, P - 1]
-    _, planes = jax.lax.scan(body, carry0, jnp.arange(P - 2, -1, -1),
-                             unroll=8)
-    all_planes = jnp.concatenate(
-        [jnp.moveaxis(planes, 0, 1)[:, ::-1], du_skew[:, P - 1:]], axis=1)
+    from . import pallas_sweep as ps
+    if ps.use_pallas(cfg, du_padded.dtype, phys.ns):
+        packed, offs = ps.pack_sweep_inputs(
+            phys, cfg, upp, b_skew if with_lower else None,
+            L_term if with_lower else None, du_skew, valid, inv_flow_skew,
+            inv_turb_skew, du_padded.dtype)
+        planes_nat = ps.sweep(phys, cfg, packed, offs, carry0, forward=False,
+                              with_extra=with_lower)
+        all_planes = jnp.concatenate(
+            [jnp.moveaxis(planes_nat, 0, 1), du_skew[:, P - 1:]], axis=1)
+    else:
+        _, planes = jax.lax.scan(body, carry0, jnp.arange(P - 2, -1, -1),
+                                 unroll=8)
+        all_planes = jnp.concatenate(
+            [jnp.moveaxis(planes, 0, 1)[:, ::-1], du_skew[:, P - 1:]], axis=1)
     x = unskew(ctx, all_planes)
     g = block.g
     Psl = (slice(None), slice(g, g + block.ni), slice(g, g + block.nj),

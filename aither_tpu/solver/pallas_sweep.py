@@ -1,0 +1,201 @@
+"""Pallas TPU kernel for the LU-SGS hyperplane sweeps.
+
+The XLA `lax.scan` formulation of the wavefront recurrence round-trips a
+dozen tiny (J2, K2) intermediates through HBM on every hyperplane, costing
+~6-7 us per plane on small planes (the rae2822 block has 433 planes x 8
+sweeps per iteration).  This kernel runs the whole sweep on-core: the grid
+dimension walks the hyperplanes sequentially, each step's packed inputs
+(one (C, J2, K2) slab) are auto-double-buffered into VMEM by the BlockSpec
+pipeline, the carry plane lives in a VMEM scratch buffer that persists
+across grid steps, and all the off-diagonal flux math stays in registers /
+VMEM.  The math is exactly the scan body's (implicit.py lusgs_forward /
+lusgs_backward; reference: linearSolver.cpp:341-428) — same `offdiagonal`
+and `diag_mult` functions traced into the kernel.
+
+Used for the scalar (lusgs) solver in float32 on TPU; the lax.scan path
+remains for CPU/float64 and the block-matrix solvers.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _norm_plane(arr, kind):
+    """normalize a plane-indexed input to (P, k, J2, K2)"""
+    if kind == "eqfirst":        # (neq, P, J2, K2)
+        return jnp.moveaxis(arr, 0, 1)
+    if kind == "plain":          # (P, J2, K2)
+        return arr[:, None]
+    raise ValueError(kind)
+
+
+def pack_sweep_inputs(phys, cfg, nbr, b_skew, extra_term, du_skew, valid,
+                      inv_flow_skew, inv_turb_skew, dtype):
+    """Concatenate every plane-indexed sweep input into one
+    (P, C, J2, K2) array + a name->(offset, len) map."""
+    fields = {}
+    for d in "ijk":
+        inp = nbr[d]
+        fields[f"q_{d}"] = (inp["q_nb"], "eqfirst")
+        fields[f"n_{d}"] = (inp["n"], "eqfirst")
+        fields[f"mag_{d}"] = (inp["mag"], "plain")
+        fields[f"mask_{d}"] = (inp["mask"].astype(dtype), "plain")
+        if cfg.get("viscous", False):
+            fields[f"dist_{d}"] = (inp["dist"], "plain")
+            for key in ("mu", "mut", "f1"):
+                if inp.get(key) is not None:
+                    fields[f"{key}_{d}"] = (inp[key], "plain")
+    if b_skew is not None:
+        fields["b"] = (b_skew, "eqfirst")
+    if extra_term is not None:
+        fields["extra"] = (extra_term, "eqfirst")
+    fields["du0"] = (du_skew, "eqfirst")
+    fields["valid"] = (valid.astype(dtype), "plain")
+    fields["inv_f"] = (inv_flow_skew, "plain")
+    if inv_turb_skew is not None:
+        fields["inv_t"] = (inv_turb_skew, "plain")
+    parts, offs = [], {}
+    c = 0
+    for name, (arr, kind) in fields.items():
+        a = _norm_plane(arr.astype(dtype), kind)
+        offs[name] = (c, a.shape[1])
+        c += a.shape[1]
+        parts.append(a)
+    return jnp.concatenate(parts, axis=1), offs
+
+
+def _get(chunk, offs, name, squeeze=False):
+    if name not in offs:
+        return None
+    o, k = offs[name]
+    v = chunk[o:o + k]
+    return v[0] if squeeze else v
+
+
+def _shift(plane, d, up):
+    """in-plane neighbor shift (implicit.py _plane_shift semantics; roll
+    implemented as concatenate for Mosaic).  Planes are transposed to
+    (neq, K2, J2) inside the kernel so the long J2 axis rides the 128-lane
+    dimension: j-shifts act on axis 2, k-shifts on axis 1."""
+    if d == "i":
+        return plane
+    ax = 2 if d == "j" else 1
+    if up:
+        lo = jax.lax.slice_in_dim(plane, 1, plane.shape[ax], axis=ax)
+        hi = jax.lax.slice_in_dim(plane, 0, 1, axis=ax)
+    else:
+        lo = jax.lax.slice_in_dim(plane, plane.shape[ax] - 1, plane.shape[ax],
+                                  axis=ax)
+        hi = jax.lax.slice_in_dim(plane, 0, plane.shape[ax] - 1, axis=ax)
+    return jnp.concatenate([lo, hi], axis=ax)
+
+
+def sweep(phys, cfg, packed, offs, carry0, forward: bool, with_extra: bool):
+    """Run one whole LU-SGS sweep as a single pallas_call.
+
+    packed: (P, C, J2, K2); carry0: the boundary plane (neq, J2, K2).
+    Returns the updated planes (P-1, neq, J2, K2) in natural plane order
+    (forward: planes 1..P-1; backward: planes 0..P-2)."""
+    from . import implicit as imp
+
+    P, C, J2, K2 = packed.shape
+    neq = phys.neq
+    dtype = packed.dtype
+    # transpose so the long plane axis is the TPU lane dimension
+    packed = jnp.swapaxes(packed, 2, 3)       # (P, C, K2, J2)
+    carry0 = jnp.swapaxes(carry0, 1, 2)       # (neq, K2, J2)
+
+    def body(chunk, prev):
+        if forward:
+            acc = 0.0
+            for d in "ijk":
+                du_nb = _shift(prev, d, up=False)
+                kw = {}
+                if cfg.get("viscous", False):
+                    kw["dist"] = _get(chunk, offs, f"dist_{d}", True)
+                    for key in ("mu", "mut", "f1"):
+                        kw[key] = _get(chunk, offs, f"{key}_{d}", True)
+                contrib = imp.offdiagonal(
+                    phys, cfg, _get(chunk, offs, f"q_{d}"), du_nb,
+                    _get(chunk, offs, f"n_{d}"),
+                    _get(chunk, offs, f"mag_{d}", True), True, **kw)
+                mask = _get(chunk, offs, f"mask_{d}", True) > 0.5
+                acc = acc + jnp.where(mask[None], contrib, 0.0)
+            rhs = _get(chunk, offs, "b") + acc
+            if with_extra:
+                rhs = rhs - _get(chunk, offs, "extra")
+            xnew = imp.diag_mult(phys, _get(chunk, offs, "inv_f", True),
+                                 _get(chunk, offs, "inv_t", True), rhs)
+        else:
+            acc = 0.0
+            for d in "ijk":
+                du_nb = _shift(prev, d, up=True)
+                kw = {}
+                if cfg.get("viscous", False):
+                    kw["dist"] = _get(chunk, offs, f"dist_{d}", True)
+                    for key in ("mu", "mut", "f1"):
+                        kw[key] = _get(chunk, offs, f"{key}_{d}", True)
+                contrib = imp.offdiagonal(
+                    phys, cfg, _get(chunk, offs, f"q_{d}"), du_nb,
+                    _get(chunk, offs, f"n_{d}"),
+                    _get(chunk, offs, f"mag_{d}", True), False, **kw)
+                mask = _get(chunk, offs, f"mask_{d}", True) > 0.5
+                acc = acc + jnp.where(mask[None], contrib, 0.0)
+            ift = _get(chunk, offs, "inv_f", True)
+            itt = _get(chunk, offs, "inv_t", True)
+            if with_extra:
+                xnew = imp.diag_mult(
+                    phys, ift, itt,
+                    _get(chunk, offs, "b") + _get(chunk, offs, "extra") - acc)
+            else:
+                xnew = _get(chunk, offs, "du0") - imp.diag_mult(phys, ift,
+                                                                itt, acc)
+        vt = _get(chunk, offs, "valid", True) > 0.5
+        return jnp.where(vt[None], xnew, _get(chunk, offs, "du0"))
+
+    def kernel(packed_ref, carry0_ref, out_ref, carry):
+        p = pl.program_id(0)
+        prev = jnp.where(p == 0, carry0_ref[...], carry[...])
+        plane = body(packed_ref[0], prev)
+        carry[...] = plane
+        out_ref[0] = plane
+
+    if forward:
+        pk_map = lambda p: (p + 1, 0, 0, 0)   # planes 1..P-1
+        out_map = lambda p: (p, 0, 0, 0)      # slot t-1 for plane t
+    else:
+        pk_map = lambda p: (P - 2 - p, 0, 0, 0)  # planes P-2..0
+        out_map = lambda p: (P - 2 - p, 0, 0, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(P - 1,),
+        in_specs=[
+            pl.BlockSpec((1, C, K2, J2), pk_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((neq, K2, J2), lambda p: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, neq, K2, J2), out_map,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P - 1, neq, K2, J2), dtype),
+        scratch_shapes=[pltpu.VMEM((neq, K2, J2), dtype)],
+    )(packed, carry0)
+    return jnp.swapaxes(out, 2, 3)
+
+
+def use_pallas(cfg, dtype, ns=1) -> bool:
+    """Pallas sweeps: scalar solver, single species, float32, TPU backend
+    (multi-species physics still closes over per-species constant arrays,
+    which Pallas cannot capture)."""
+    if cfg.get("block_matrix") or ns != 1:
+        return False
+    if dtype != jnp.float32:
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
