@@ -209,6 +209,58 @@ def make_sharded_step(solver, mesh, axis="x"):
     return jax.jit(fn), geom_stack, ni_l
 
 
+def dryrun_parity(n_devices, ni=None, nj=8, nk=8):
+    """Perturbed-field parity: one sharded implicit step over an n-device
+    mesh must reproduce the single-block solver iteration to 1e-10 (the
+    meaningful version of the multi-chip dry run — a broken ppermute halo
+    exchange cannot deliver this)."""
+    import tempfile
+
+    from ..solver import state as st2
+    from ..solver.driver import Solver  # noqa: F401 (Solver built below)
+
+    ni = ni if ni is not None else 4 * n_devices
+    devs = jax.devices()[:n_devices]
+    if len(devs) < n_devices:
+        raise RuntimeError(f"need {n_devices} devices, have {len(devs)}")
+    mesh = Mesh(np.asarray(devs), ("x",))
+    with tempfile.TemporaryDirectory() as tmp:
+        solver = build_box_case(tmp, ni=ni, nj=nj, nk=nk)
+        gb = solver.case.blocks[0]
+        g = gb.g
+        prim = np.array(gb.prim0)
+        ii, jj, kk = np.meshgrid(np.arange(gb.ni), np.arange(gb.nj),
+                                 np.arange(gb.nk), indexing="ij")
+        bump = 0.02 * np.exp(-((ii - ni / 2.0) ** 2 + (jj - nj / 2.0) ** 2
+                               + (kk - nk / 2.0) ** 2) / 18.0)
+        P = (slice(None), slice(g, g + gb.ni), slice(g, g + gb.nj),
+             slice(g, g + gb.nk))
+        prim[P] *= (1.0 + bump)[None]
+
+        # single-device iteration (production path)
+        prims = {0: jnp.asarray(prim)}
+        cons_n = {0: st2.cons_from_prim(solver.phys, prims[0][P])}
+        cfl = solver.deck.cfl(0)
+        new_prims, _, _, _, _ = solver._iterate(prims, cons_n, {0: 0.0},
+                                                cfl, 0)
+        want = np.asarray(new_prims[0])[P]
+
+        # sharded step over the mesh
+        step_fn, geom_stack, _ = make_sharded_step(solver, mesh)
+        interior = jnp.asarray(prim)[P]
+        geom_dev = {k: jnp.asarray(v, solver.case.dtype)
+                    for k, v in geom_stack.items()}
+        with mesh:
+            got, _, l2 = step_fn(
+                interior, st2.cons_from_prim(solver.phys, interior), geom_dev)
+        got = np.asarray(jax.device_get(got))
+        err = float(np.abs(got - want).max())
+        if not np.isfinite(got).all() or err > 1e-10:
+            raise RuntimeError(
+                f"sharded != single-device: max abs err {err:.3e}")
+        return err
+
+
 def run_spmd_steps(n_devices, steps=1, ni=32, nj=8, nk=8, devices=None):
     """End-to-end: build the box case, shard it over an n-device mesh, and
     advance `steps` implicit DPLUR iterations.  Returns final resid L2."""
