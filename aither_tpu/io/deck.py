@@ -102,19 +102,8 @@ def parse_state_object(text: str) -> StateObject:
 
 
 def _split_objects(body: str) -> list[str]:
-    """Split the interior of a ``<...>`` list into object strings."""
-    objs, depth, start = [], 0, None
-    for i, c in enumerate(body):
-        if c == "(":
-            if depth == 0:
-                # object name runs back to previous comma/start
-                pass
-            depth += 1
-        elif c == ")":
-            depth -= 1
-            if depth == 0 and start is not None:
-                pass
-    # simpler: find name(...) groups with a regex that tracks parens manually
+    """Split the interior of a ``<...>`` list into ``name(...)`` object
+    strings, tracking paren depth manually."""
     out = []
     i = 0
     n = len(body)
@@ -245,6 +234,36 @@ _FLOAT_KEYS = {"timeStep", "referenceDensity", "referenceTemperature",
 # kappa per faceReconstruction (reference: input.cpp:272-296)
 _KAPPA = {"upwind": -1.0, "fromm": 0.0, "quick": 0.5, "central": 1.0,
           "thirdOrder": 1.0 / 3.0}
+
+# the full key registry (reference: input.cpp:111-155 vars_); unknown keys
+# are rejected like the reference's parser does
+_LIST_KEYS = {"fluids", "initialConditions", "boundaryStates",
+              "outputVariables", "wallOutputVariables",
+              "boundaryConditions"}
+_KNOWN_KEYS = set(_DEFAULTS) | _LIST_KEYS
+
+# accepted enumerated values (reference: input.cpp:272-560 per-key parsing)
+_ENUM_VALUES = {
+    "faceReconstruction": {"constant", "upwind", "fromm", "quick", "central",
+                           "thirdOrder", "weno", "wenoZ"},
+    "viscousFaceReconstruction": {"central", "centralFourth"},
+    "limiter": {"none", "minmod", "vanAlbada"},
+    "timeIntegration": {"explicitEuler", "rk4", "implicitEuler",
+                        "crankNicholson", "bdf2"},
+    "equationSet": {"euler", "navierStokes", "rans", "largeEddySimulation"},
+    "matrixSolver": {"lusgs", "blusgs", "dplur", "bdplur"},
+    "inviscidFlux": {"roe", "ausm"},
+    "inviscidFluxJacobian": {"rusanov", "approximateRoe", "exact"},
+    "decompositionMethod": {"cubic", "manual"},
+    "turbulenceModel": {"none", "kOmegaWilcox2006", "sst2003", "sstdes",
+                        "wale"},
+    "thermodynamicModel": {"caloricallyPerfect", "thermallyPerfect"},
+    "equationOfState": {"idealGas"},
+    "transportModel": {"sutherland"},
+    "diffusionModel": {"none", "schmidt"},
+    "chemistryModel": {"frozen", "reacting"},
+    "multigridCycle": {"V", "W"},
+}
 
 
 class Deck:
@@ -406,12 +425,81 @@ class Deck:
     # -- validation mirrored from the reference -------------------------------
     def finalize(self, fluid_db=None):
         """Apply reference-equivalent validation/derivations
-        (input.cpp:602-643)."""
+        (input.cpp:602-643, :878-1000 consistency checks)."""
+        import sys
+
         ti = self.values["timeIntegration"]
-        if ti == "rk4":
+        if ti == "rk4" and self.values["nonlinearIterations"] != 4:
+            print("WARNING: For RK4 method, nonlinear iterations should be "
+                  f"set to 4, changing value from "
+                  f"{self.values['nonlinearIterations']} to 4",
+                  file=sys.stderr)
             self.values["nonlinearIterations"] = 4
-        elif ti == "explicitEuler":
+        elif ti == "explicitEuler" \
+                and self.values["nonlinearIterations"] != 1:
+            print("WARNING: For euler method, nonlinear iterations should "
+                  f"be set to 1, changing value from "
+                  f"{self.values['nonlinearIterations']} to 1",
+                  file=sys.stderr)
             self.values["nonlinearIterations"] = 1
+
+        # turbulence model vs equation set (reference: input.cpp:963-985
+        # CheckTurbulenceModel)
+        turb = self.values["turbulenceModel"]
+        if self.is_turbulent and turb == "none":
+            raise ValueError("If solving RANS or LES equations, must "
+                             "specify turbulence model")
+        if not self.is_turbulent and turb != "none":
+            raise ValueError("Turbulence models are only valid for the "
+                             "RANS and LES equation sets")
+        if self.is_rans and turb == "wale":
+            raise ValueError("Equation set is RANS, but turbulence model "
+                             "is not")
+        if self.is_les and turb != "wale":
+            raise ValueError("Equation set is LES, but turbulence model "
+                             "is not")
+
+        # prune output variables unavailable for this equation set
+        # (reference: input.cpp:894-960 Check(Wall)OutputVariables)
+        def prune(names, drop, what):
+            kept = []
+            for v in names:
+                if drop(v):
+                    print(f"WARNING: Variable {v} is not available for "
+                          f"{what} simulations.", file=sys.stderr)
+                else:
+                    kept.append(v)
+            return kept
+
+        rans_vars = ("tke", "sdr", "resid_tke", "resid_sdr", "f1", "f2")
+        if not self.is_rans:
+            self.output_variables = prune(
+                self.output_variables,
+                lambda v: (v in rans_vars or v.startswith("tkeGrad_")
+                           or v.startswith("sdrGrad_")), "non-RANS")
+            self.wall_output_variables = prune(
+                self.wall_output_variables, lambda v: v in ("tke", "sdr"),
+                "non-RANS")
+        if not self.is_turbulent:
+            self.output_variables = prune(
+                self.output_variables,
+                lambda v: v in ("viscosityRatio", "turbulentViscosity"),
+                "laminar")
+            self.wall_output_variables = prune(
+                self.wall_output_variables, lambda v: v == "viscosityRatio",
+                "laminar")
+        if not self.is_viscous:
+            self.output_variables = prune(
+                self.output_variables, lambda v: v == "viscosity",
+                "inviscid")
+            self.wall_output_variables = prune(
+                self.wall_output_variables,
+                lambda v: v in ("yplus", "heatFlux", "shearStress",
+                                "frictionVelocity", "viscosity"), "inviscid")
+        self.output_variables = prune(
+            self.output_variables,
+            lambda v: v.startswith("mf_")
+            and v[3:] not in self.species_names, "missing-species")
 
         # reference speed of sound: a = sqrt(sum_s mf_s * gamma_s R_s Tref)
         # assuming calorically perfect for gamma (input.cpp:616-621)
@@ -524,8 +612,17 @@ def parse_deck_text(text: str, sim_name: str = "input.inp") -> Deck:
         elif key == "outputNodalVariables":
             deck.values[key] = val in ("yes", "true")
         elif key in _DEFAULTS:
+            if key in _ENUM_VALUES and val not in _ENUM_VALUES[key]:
+                raise ValueError(
+                    f"input deck value {val!r} for key {key!r} is not "
+                    f"recognized; choose one of "
+                    f"{sorted(_ENUM_VALUES[key])}")
             deck.values[key] = val
-        # unknown keys are ignored (reference rejects, but be permissive)
+        else:
+            # unknown keys are rejected against the registry exactly like
+            # the reference parser (reference: input.cpp:111-155 vars_)
+            raise ValueError(
+                f"unknown input deck key {key!r} (line {i + 1})")
         i += 1
 
     return deck

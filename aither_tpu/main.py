@@ -34,6 +34,12 @@ def main(argv=None):
                         help="override deck iteration count")
     parser.add_argument("--no-files", action="store_true",
                         help="skip .fun/.rst output")
+    parser.add_argument("--nproc", type=int, default=1,
+                        help="decompose the grid into this many device "
+                             "slots (reference: mpirun -np N)")
+    parser.add_argument("--debug", action="store_true",
+                        help="per-iteration physicality checks (analogue "
+                             "of the reference's FP-exception trapping)")
     args = parser.parse_args(argv)
 
     import jax
@@ -48,7 +54,8 @@ def main(argv=None):
           f"(dtype: {'float64' if use_x64 else 'float32'})")
 
     from .solver.driver import Solver
-    solver = Solver(args.input, restart_path=args.restart)
+    solver = Solver(args.input, restart_path=args.restart,
+                    nproc=args.nproc, debug=args.debug)
     solver.run(iterations=args.iterations, write_files=not args.no_files)
     print("Program Complete")
     return 0

@@ -331,7 +331,11 @@ def compute_wall_distance(geo: BlockGeometry, bc, wall_pts: np.ndarray):
                 geo.wall_dist[tuple(idx)] = geo.wall_dist[tuple(src)]
 
 
-def build_case(deck_path: str, dtype=None) -> Case:
+def build_case(deck_path: str, dtype=None, nproc: int = 1) -> Case:
+    """Build the solver Case.  nproc > 1 decomposes the grid into
+    device-slot sub-blocks exactly as the reference's decomposition does
+    (reference: main.cpp:121-148, parallel.cpp:44-178) so that decomposed
+    runs reproduce the reference's per-processor-count convergence."""
     import os as _os
     workdir = _os.path.dirname(_os.path.abspath(deck_path))
     import jax.numpy as jnp
@@ -347,12 +351,23 @@ def build_case(deck_path: str, dtype=None) -> Case:
     total_cells = sum((b.shape[0] - 1) * (b.shape[1] - 1) * (b.shape[2] - 1)
                       for b in grids)
 
-    return assemble_case(deck, phys, grids, deck.bcs, dtype, workdir,
-                         total_cells)
+    bcs = deck.bcs
+    parents = None
+    decomp = None
+    if nproc > 1:
+        from ..parallel.decompose import decompose
+        grids, bcs, decomp = decompose(grids, bcs, nproc,
+                                       method=deck["decompositionMethod"])
+        parents = decomp.parent
+
+    case = assemble_case(deck, phys, grids, bcs, dtype, workdir,
+                         total_cells, parents=parents)
+    case.decomp = decomp
+    return case
 
 
 def assemble_case(deck, phys, grids, bcs, dtype, workdir,
-                  total_cells) -> Case:
+                  total_cells, parents=None) -> Case:
     """Build a Case from node arrays + block BCs (shared by the fine grid
     and the multigrid coarse levels, reference: gridLevel::Coarsen)."""
     g = deck.num_ghosts
@@ -384,12 +399,14 @@ def assemble_case(deck, phys, grids, bcs, dtype, workdir,
                 _swap_geom_one(geos, c, acceptor, donor, swap_dir, g,
                                pairs=[("wall_dist", "wall_dist")])
 
+    if parents is None:
+        parents = list(range(len(geos)))
     blocks = []
     for b, geo in enumerate(geos):
-        prim0 = _initial_prim(deck, phys, b, geo.shape,
+        prim0 = _initial_prim(deck, phys, parents[b], geo.shape,
                               centers=geo.center, workdir=workdir)
         geom = _device_geometry(geo, dtype)
-        blocks.append(Block(index=b, parent=b, ni=geo.ni, nj=geo.nj,
+        blocks.append(Block(index=b, parent=parents[b], ni=geo.ni, nj=geo.nj,
                             nk=geo.nk, g=g, geom=geom,
                             surfaces=_surface_specs(deck, bcs[b], g),
                             prim0=prim0.astype(dtype)))

@@ -22,8 +22,15 @@ EPS = 1.0e-30
 
 class Solver:
     def __init__(self, deck_path: str, dtype=None, workdir=None,
-                 restart_path=None):
-        self.case = build_case(deck_path, dtype=dtype)
+                 restart_path=None, nproc: int = 1, debug=None):
+        # debug mode: per-iteration physicality checks, the analogue of the
+        # reference's armed FP exceptions + MSG_ASSERT guards
+        # (reference: main.cpp:78-82, macros.hpp.in:32-37,
+        # procBlock.cpp:434-437)
+        if debug is None:
+            debug = os.environ.get("AITHER_DEBUG", "0") not in ("0", "")
+        self.debug = bool(debug)
+        self.case = build_case(deck_path, dtype=dtype, nproc=nproc)
         self.deck = self.case.deck
         self.phys = self.case.phys
         deck = self.deck
@@ -615,6 +622,36 @@ class Solver:
             out[b.index] = st.cons_from_prim(phys, self.prims[b.index][P])
         return out
 
+    def check_physicality(self, nn, mm, l2=None):
+        """Debug-mode guard: densities/pressures must stay positive and
+        residual norms finite, else abort with the offending location
+        (reference: MSG_ASSERT physicality asserts in hot loops,
+        procBlock.cpp:434-437/896-897, and armed FP exceptions,
+        main.cpp:78-82)."""
+        phys = self.phys
+        if l2 is not None and not np.all(np.isfinite(l2)):
+            raise FloatingPointError(
+                f"non-finite residual L2 {l2} at iteration {nn} "
+                f"nonlinear-iter {mm}")
+        for b in self.case.blocks:
+            g = b.g
+            P = (slice(None), slice(g, g + b.ni), slice(g, g + b.nj),
+                 slice(g, g + b.nk))
+            q = np.asarray(self.prims[b.index][P])
+            fields = [("density", q[:phys.ns].sum(axis=0)),
+                      ("pressure", q[phys.ie])]
+            if phys.nturb:
+                fields.append(("tke", q[phys.it]))
+            for name, f in fields:
+                bad = ~np.isfinite(f) | (f <= 0.0 if name != "tke"
+                                         else ~np.isfinite(f))
+                if bad.any():
+                    loc = np.unravel_index(int(np.argmax(bad)), f.shape)
+                    raise FloatingPointError(
+                        f"non-physical {name} {f[loc]:.6e} at iteration "
+                        f"{nn} nonlinear-iter {mm}, block {b.parent}, "
+                        f"cell {tuple(int(x) for x in loc)}")
+
     # -- logging (reference format) ------------------------------------------
     def _open_logs(self, restart=False):
         mode = "a" if restart else "w"
@@ -721,6 +758,8 @@ class Solver:
                 mr = np.sqrt(mr / total_dof) if mr > 0 else 0.0
                 self._write_residuals(nn + self.iteration_start, mm, cfl, l2,
                                       linf_val, linf_loc, mr)
+                if self.debug:
+                    self.check_physicality(nn + self.iteration_start, mm, l2)
                 if multilevel and mm == nl_iters - 1:
                     self.cons_nm1 = dict(self.cons_n)
             it_global = nn + self.iteration_start

@@ -52,3 +52,43 @@ def test_rae2822_deck():
     assert deck.is_implicit
     assert deck.is_viscous
     assert len(deck.bc_states) >= 1
+
+
+def test_unknown_key_rejected():
+    """Unknown keys fail loudly (reference: input.cpp:111-155 vars_
+    registry rejection)."""
+    from aither_tpu.io.deck import parse_deck_text
+    with pytest.raises(ValueError, match="unknown input deck key"):
+        parse_deck_text("gridNam: typo\n")
+    with pytest.raises(ValueError, match="not recognized"):
+        parse_deck_text("limiter: superbee\n")
+
+
+def test_turbulence_model_consistency():
+    """reference: input.cpp:963-985 CheckTurbulenceModel."""
+    from aither_tpu.io.deck import parse_deck_text
+    base = ("gridName: g\nreferenceDensity: 1.0\n"
+            "referenceTemperature: 300.0\n")
+    with pytest.raises(ValueError, match="must.*specify turbulence model"):
+        parse_deck_text(base + "equationSet: rans\n").finalize()
+    with pytest.raises(ValueError, match="only valid for the RANS"):
+        parse_deck_text(base + "equationSet: euler\n"
+                        "turbulenceModel: sst2003\n").finalize()
+    with pytest.raises(ValueError, match="RANS, but turbulence model"):
+        parse_deck_text(base + "equationSet: rans\n"
+                        "turbulenceModel: wale\n").finalize()
+    with pytest.raises(ValueError, match="LES, but turbulence model"):
+        parse_deck_text(base + "equationSet: largeEddySimulation\n"
+                        "turbulenceModel: sst2003\n").finalize()
+
+
+def test_output_variable_pruning():
+    """RANS/turbulent/viscous-only variables are pruned with a warning
+    (reference: input.cpp:894-960)."""
+    from aither_tpu.io.deck import parse_deck_text
+    deck = parse_deck_text(
+        "gridName: g\nreferenceDensity: 1.0\n"
+        "referenceTemperature: 300.0\nequationSet: euler\n"
+        "outputVariables: <density, tke, viscosity, turbulentViscosity,\n"
+        "                  pressure, mf_unknownSpecies>\n").finalize()
+    assert deck.output_variables == ["density", "pressure"]

@@ -77,10 +77,11 @@ VISCOUS_CASES = {
 }
 
 
-def run_and_compare(case, iters, goldens, ignored, tmp_path, tol=0.01):
+def run_and_compare(case, iters, goldens, ignored, tmp_path, tol=0.01,
+                    nproc=1):
     from aither_tpu.solver.driver import Solver
     deck = os.path.join(CASES, case, f"{case}.inp")
-    solver = Solver(deck, workdir=str(tmp_path))
+    solver = Solver(deck, workdir=str(tmp_path), nproc=nproc)
     solver.run(iterations=iters)
     resid_path = os.path.join(str(tmp_path), f"{case}.resid")
     with open(resid_path) as f:
@@ -121,6 +122,39 @@ def test_viscous_regression(case, tmp_path):
     iters, goldens, ignored = spec[:3]
     tol = spec[3] if len(spec) > 3 else 0.01
     run_and_compare(case, iters, goldens, ignored, tmp_path, tol=tol)
+
+
+# Official 2-processor configurations (reference CI runs these with
+# mpirun -np 2; goldens from regressionTests.py per-proc variants).  The
+# rebuild reproduces them by decomposing the grid with the reference's
+# cubic decomposition (parallel.cpp:95-178) and running the resulting
+# multi-block case — the decomposition, not the rank placement, is what
+# changes the convergence history.
+TWO_PROC_CASES = {
+    # case: (iters, goldens, ignored, tol)
+    "viscousFlatPlate": (100, [7.6770e-02, 2.4712e-01, 5.2446e-02,
+                               1.0000e+00, 7.9490e-02], {3}),
+    "turbFlatPlate": (20, [2.2801e-01, 2.9863e-01, 1.0000e+00, 3.2381e-01,
+                           2.2326e-01, 2.5206e-07, 3.3015e-06], {2}),
+    "rae2822": (20, [5.5892e-01, 6.7268e-01, 5.3250e-01, 1.0000e+00,
+                     5.0058e-01, 2.5771e-09, 3.4059e-10], {3}),
+    "wallLaw": (20, [7.3745e-01, 1.5345e-01, 3.1677e-01, 9.2831e-01,
+                     7.1928e-01, 2.6861e-02, 2.6255e-07], {1}),
+    "supersonicMixing": (20, [2.1642e-01, 1.5503e-01, 1.3670e+00,
+                              8.2043e-02, 3.3908e-01, 3.6563e-04,
+                              1.2388e-05], {3}),
+}
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(CASES), reason="reference cases absent")
+@pytest.mark.parametrize("case", sorted(TWO_PROC_CASES))
+def test_two_proc_regression(case, tmp_path):
+    spec = TWO_PROC_CASES[case]
+    iters, goldens, ignored = spec[:3]
+    tol = spec[3] if len(spec) > 3 else 0.01
+    run_and_compare(case, iters, goldens, ignored, tmp_path, tol=tol,
+                    nproc=2)
 
 
 # block-matrix solvers: same cases re-run by the reference with
