@@ -54,6 +54,10 @@ def variable_field(name, prim, phys, deck, aux=None):
     if name == "pressure":
         return prim[phys.ie] * r * a * a
     if name == "temperature":
+        # nodal blocks carry the cell-averaged temperature field (reference
+        # reads temperature_, not T(state): output.cpp:258)
+        if aux is not None and "temperature" in aux:
+            return np.asarray(aux["temperature"]) * t_ref
         return temperature() * t_ref
     if name == "mach":
         vel = prim[phys.mx:phys.mx + 3]
@@ -62,6 +66,8 @@ def variable_field(name, prim, phys, deck, aux=None):
     if name == "sos":
         return np.asarray(phys.sos(prim[phys.ie], prim[:ns])) * a
     if name == "viscosity":
+        if aux is not None and "viscosity" in aux:
+            return np.asarray(aux["viscosity"]) * phys.mu_mix_ref
         mu = np.asarray(phys.viscosity(temperature(), mf))
         return mu * phys.mu_mix_ref
     if name == "tke":
@@ -73,7 +79,8 @@ def variable_field(name, prim, phys, deck, aux=None):
     if name == "turbulentViscosity" and aux is not None and "mut" in aux:
         return aux["mut"] * phys.mu_mix_ref
     if name == "viscosityRatio" and aux is not None and "mut" in aux:
-        mu = np.asarray(phys.viscosity(temperature(), mf))
+        mu = (np.asarray(aux["viscosity"]) if "viscosity" in aux
+              else np.asarray(phys.viscosity(temperature(), mf)))
         return aux["mut"] / mu
     if name.startswith("mf_"):
         sp = name[3:]
@@ -84,10 +91,18 @@ def variable_field(name, prim, phys, deck, aux=None):
     if name == "globalPosition":
         return np.zeros_like(np.asarray(rho))
     if name == "cp":
-        cp = np.asarray(phys.mix(phys.species_cp(temperature()), mf))
+        # cp/cv read the averaged temperature field on nodal blocks
+        # (reference: output.cpp:271-281)
+        t_cp = (np.asarray(aux["temperature"])
+                if aux is not None and "temperature" in aux
+                else temperature())
+        cp = np.asarray(phys.mix(phys.species_cp(t_cp), mf))
         return cp * a * a / t_ref
     if name == "cv":
-        cv = np.asarray(phys.mix(phys.species_cv(temperature()), mf))
+        t_cv = (np.asarray(aux["temperature"])
+                if aux is not None and "temperature" in aux
+                else temperature())
+        cv = np.asarray(phys.mix(phys.species_cv(t_cv), mf))
         return cv * a * a / t_ref
     if name == "energy":
         e = np.asarray(phys.mix(phys.species_energy(temperature()), mf))
@@ -240,6 +255,151 @@ def write_fun_file(path, var_names, blocks_prim, phys, deck, aux_blocks=None):
                                                   phys, deck, aux))
                 f.write(np.ascontiguousarray(
                     field.transpose(2, 1, 0), dtype="<f8").tobytes())
+
+
+# ---------------------------------------------------------------------------
+# nodal output (reference: output.cpp:452-470 WriteNodeFun,
+# utility.hpp:186-334 ConvertCellToNode, procBlock.cpp:6607-6847 CellToNode,
+# procBlock.cpp:2716-2755 AssignCornerGhostCells)
+
+
+def _ends_count(dims):
+    """(ni+1, nj+1, nk+1) int field: how many of a node's indices lie on the
+    block boundary (0=strict interior, 1=face, 2=edge, 3=corner)."""
+    cnt = np.zeros(tuple(d + 1 for d in dims), dtype=np.int8)
+    for a, d in enumerate(dims):
+        sl = [slice(None)] * 3
+        e = np.zeros(d + 1, dtype=np.int8)
+        e[0] = e[-1] = 1
+        sh = [1, 1, 1]
+        sh[a] = d + 1
+        cnt = cnt + e.reshape(sh)
+    return cnt
+
+
+def _window_sum8(slab, dims):
+    """sum of the 8 cells surrounding each node; slab has one extra cell on
+    each side of every grid dim: (..., ni+2, nj+2, nk+2) -> node sums
+    (..., ni+1, nj+1, nk+1)."""
+    ni, nj, nk = dims
+    out = 0.0
+    for a in (0, 1):
+        for b in (0, 1):
+            for c in (0, 1):
+                out = out + slab[..., a:a + ni + 1, b:b + nj + 1,
+                                 c:c + nk + 1]
+    return out
+
+
+def assign_corner_ghosts(padded, g):
+    """First-layer 3-D corner ghost cells = mean of the three adjacent
+    edge-ghost cells (reference: procBlock.cpp:2716 AssignCornerGhostCells
+    — only used for cell-to-node interpolation)."""
+    out = np.array(padded)
+    ni = padded.shape[-3] - 2 * g
+    nj = padded.shape[-2] - 2 * g
+    nk = padded.shape[-1] - 2 * g
+    third = 1.0 / 3.0
+    for ig in (g - 1, g + ni):
+        si = 1 if ig == g - 1 else -1
+        for jg in (g - 1, g + nj):
+            sj = 1 if jg == g - 1 else -1
+            for kg in (g - 1, g + nk):
+                sk = 1 if kg == g - 1 else -1
+                out[..., ig, jg, kg] = third * (
+                    out[..., ig + si, jg, kg] + out[..., ig, jg + sj, kg]
+                    + out[..., ig, jg, kg + sk])
+    return out
+
+
+def cell_to_node_state(padded, g):
+    """ConvertCellToNode, ghost path, ignoreEdge=False: every node is the
+    mean of its 8 surrounding cells, boundary nodes using one ghost layer
+    (incl. edge/corner ghosts) (reference: utility.hpp:192-273,330-332)."""
+    dims = tuple(s - 2 * g for s in padded.shape[-3:])
+    ni, nj, nk = dims
+    slab = padded[..., g - 1:g + ni + 1, g - 1:g + nj + 1, g - 1:g + nk + 1]
+    return _window_sum8(slab, dims) / 8.0
+
+
+def cell_to_node_ghost_ignore_edge(padded, g):
+    """ghost path with ignoreEdge=True (residual-like fields that carry
+    ghosts, e.g. wallDistance): edge/corner ghost cells are excluded and
+    nodes on block edges / corners renormalize by 1/6 / 1/4
+    (reference: utility.hpp:225-270, 307-329)."""
+    dims = tuple(s - 2 * g for s in padded.shape[-3:])
+    ni, nj, nk = dims
+    slab = np.array(
+        padded[..., g - 1:g + ni + 1, g - 1:g + nj + 1, g - 1:g + nk + 1])
+    gi = np.zeros(ni + 2, bool)
+    gi[[0, -1]] = True
+    gj = np.zeros(nj + 2, bool)
+    gj[[0, -1]] = True
+    gk = np.zeros(nk + 2, bool)
+    gk[[0, -1]] = True
+    nghost = (gi[:, None, None].astype(int) + gj[None, :, None]
+              + gk[None, None, :])
+    slab[..., nghost >= 2] = 0.0
+    s = _window_sum8(slab, dims)
+    cnt = _ends_count(dims)
+    fac = np.where(cnt >= 3, 0.25, np.where(cnt == 2, 1.0 / 6.0, 0.125))
+    return s * fac
+
+
+def cell_to_node_noghost_ignore_edge(interior):
+    """no-ghost path with ignoreEdge=True (residuals, dt): corner nodes
+    keep the single cell value, edge nodes average their 2 cells, all other
+    nodes multiply the available-cell sum by 1/8 — including boundary-face
+    nodes with only 4 contributions, replicating the reference's weighting
+    (reference: utility.hpp:274-329)."""
+    dims = interior.shape[-3:]
+    pads = [(0, 0)] * (interior.ndim - 3) + [(1, 1)] * 3
+    slab = np.pad(interior, pads)
+    s = _window_sum8(slab, dims)
+    cnt = _ends_count(dims)
+    fac = np.where(cnt >= 3, 1.0, np.where(cnt == 2, 0.5, 0.125))
+    return s * fac
+
+
+def face_grads_to_node(face_arrs, dims):
+    """Scatter per-direction FACE values to nodes with the reference's
+    gradient weights: interior 1/12, boundary face 1/8, edge 1/5, corner
+    1/3 (reference: procBlock.cpp:6625-6847).  face_arrs: {d: array} whose
+    last three axes are grid-ordered (i, j, k) with the face count
+    (n_d + 1) along d's axis and physical cell counts transverse."""
+    ni, nj, nk = dims
+    node_shape = None
+    out = None
+    for d, arr in face_arrs.items():
+        ax = {"i": 0, "j": 1, "k": 2}[d]
+        if out is None:
+            node_shape = arr.shape[:-3] + (ni + 1, nj + 1, nk + 1)
+            out = np.zeros(node_shape, arr.dtype)
+        taxes = [a for a in range(3) if a != ax]
+        for b in (0, 1):
+            for c in (0, 1):
+                sl = [slice(None)] * 3
+                sl[ax] = slice(0, dims[ax] + 1)
+                sl[taxes[0]] = slice(b, b + dims[taxes[0]])
+                sl[taxes[1]] = slice(c, c + dims[taxes[1]])
+                out[(Ellipsis,) + tuple(sl)] += arr
+    cnt = _ends_count(dims)
+    fac = np.where(cnt >= 3, 1.0 / 3.0,
+                   np.where(cnt == 2, 0.2, np.where(cnt == 1, 0.125,
+                                                    1.0 / 12.0)))
+    return out * fac
+
+
+def write_nodes(path, grids, l_ref):
+    """Node-coordinate Plot3D grid (the original grid, dimensionalized) —
+    the mesh the nodal .fun files index (reference: output.cpp:106)."""
+    with open(path, "wb") as f:
+        _write_block_dims(f, [gr.shape[:3] for gr in grids])
+        for gr in grids:
+            for n in range(3):
+                f.write(np.ascontiguousarray(
+                    (gr[..., n] * l_ref).transpose(2, 1, 0),
+                    dtype="<f8").tobytes())
 
 
 def write_meta(path, sim_root, grid_name, iteration, var_names,

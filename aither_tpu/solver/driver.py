@@ -16,6 +16,7 @@ from . import state as st_mod
 from . import state as st
 from . import implicit as imp
 from .case import Case, build_case
+from .sput import set_region
 
 EPS = 1.0e-30
 
@@ -242,7 +243,7 @@ class Solver:
                 x0 = imp.diag_mult(phys, inv_flow, inv_turb, bs[b.index])
                 P = (slice(None), slice(g, g + b.ni), slice(g, g + b.nj),
                      slice(g, g + b.nk))
-                du = du.at[P].set(x0)
+                du = set_region(du, P, x0)
             dus[b.index] = du
         self._mg_diag_carry[lvl] = a_diag
         return inv_diag, a_diag, bs, dus
@@ -337,7 +338,7 @@ class Solver:
             pad = jnp.asarray(b.prim0, self.case.dtype)
             P = (slice(None), slice(g, g + b.ni), slice(g, g + b.nj),
                  slice(g, g + b.nk))
-            prims[b.index] = pad.at[P].set(prims_int[b.index])
+            prims[b.index] = set_region(pad, P, prims_int[b.index])
         prims = step_mod.apply_all_bcs(phys, case, prims)
         residuals, specrads, dts, auxs, diags = {}, {}, {}, {}, {}
         cons_n = {}
@@ -380,7 +381,7 @@ class Solver:
             du_c = jnp.zeros((phys.neq,) + cb.shape, self.case.dtype)
             Pc = (slice(None), slice(gc, gc + cb.ni), slice(gc, gc + cb.nj),
                   slice(gc, gc + cb.nk))
-            du_c = du_c.at[Pc].set(mg.restrict_weighted(
+            du_c = set_region(du_c, Pc, mg.restrict_weighted(
                 st["dus"][b.index][Pf], lm, cshape))
             dus_c[b.index] = du_c
             force_r[b.index] = mg.restrict_sum(resid_field[b.index], lm,
@@ -437,7 +438,8 @@ class Solver:
             fine_corr = mg.prolong(corr, maps[b.index])
             Pf = (slice(None), slice(gf, gf + b.ni), slice(gf, gf + b.nj),
                   slice(gf, gf + b.nk))
-            st["dus"][b.index] = st["dus"][b.index].at[Pf].add(fine_corr)
+            st["dus"][b.index] = set_region(st["dus"][b.index], Pf,
+                                            fine_corr, add=True)
         self._mg_trace("corr", lvl + 1,
                        {bi: cs["dus"][bi] - du_c0[bi] for bi in du_c0})
         self._mg_trace("postprolong", lvl, st["dus"])
@@ -539,8 +541,13 @@ class Solver:
             for n in names)
         wall_names = deck.wall_output_variables \
             if hasattr(deck, "wall_output_variables") else []
+        nodal = bool(deck["outputNodalVariables"])
+        cfg_out = dict(self.cfg)
+        if nodal:
+            cfg_out["keep_face_grads"] = True
         auxs = []
         wall_blocks = []
+        prim_pads = {}
         full_prims = step_mod.apply_all_bcs(phys, self.case, dict(self.prims),
                                             bc_aux=self.bc_aux,
                                             cons_n=self.cons_n)
@@ -548,11 +555,13 @@ class Solver:
             g = b.g
             P = tuple(slice(g, g + n) for n in (b.ni, b.nj, b.nk))
             aux = {"wall_dist": np.asarray(b.geom["wall_dist"][P])}
-            if (need_fields or wall_names) and (self.cfg["viscous"]
-                                                or self.cfg["implicit"]):
+            prim_pads[b.index] = np.asarray(full_prims[b.index])
+            if (need_fields or wall_names or nodal) and (
+                    self.cfg["viscous"] or self.cfg["implicit"]):
                 (resid, sr_f, sr_t, _, _, _, prim_v,
-                 full_aux) = step_mod.full_residual(phys, self.cfg, b,
+                 full_aux) = step_mod.full_residual(phys, cfg_out, b,
                                                     full_prims[b.index])
+                prim_pads[b.index] = np.asarray(prim_v)
                 sr = jnp.maximum(sr_f, sr_t) if phys.nturb else sr_f
                 cfl = self.deck.cfl(max(iteration - 1, 0))
                 aux["dt"] = np.asarray(step_mod.local_dt(
@@ -561,7 +570,13 @@ class Solver:
                 if full_aux and "cellavg" in full_aux:
                     ca = full_aux["cellavg"]
                     aux["cellavg"] = {k: np.asarray(v) for k, v in ca.items()
-                                      if k not in ("wall_out", "mix")}
+                                      if k not in ("wall_out", "mix",
+                                                   "face_grads")}
+                    if "face_grads" in ca:
+                        aux["face_grads"] = {
+                            d: {k: np.asarray(v) for k, v in gd.items()
+                                if k != "mix"}
+                            for d, gd in ca["face_grads"].items()}
                     aux["mut"] = aux["cellavg"]["mut"]
                     aux["f1"] = aux["cellavg"]["f1"]
                     aux["f2"] = aux["cellavg"]["f2"]
@@ -583,6 +598,67 @@ class Solver:
             out_mod.write_wall_files(self.sim_root, deck["gridName"],
                                      iteration, self.case, wall_blocks,
                                      wall_names)
+        if nodal:
+            self._write_nodal(iteration, names, prim_pads, auxs)
+
+    def _write_nodal(self, iteration, names, prim_pads, auxs):
+        """Nodal .fun output: cell data interpolated to grid nodes
+        (reference: output.cpp:452-470 WriteNodeFun,
+        procBlock.cpp:6607-6847 CellToNode).  The nodal file indexes the
+        ORIGINAL node grid (<gridName>.xyz), so ParaView overlays it on the
+        input mesh directly (reference: WriteMeta(inp, iter, false)).
+
+        Deviation from the reference: boundary-node mut/f1/f2 use
+        edge-extrapolated ghost values (the reference reads whatever its
+        eddyViscosity_ ghost cells hold from the viscous BC pass); interior
+        nodes are exact."""
+        from ..io import output as out_mod
+        phys, deck = self.phys, self.deck
+        nodal_prims, nodal_auxs = [], []
+        for b in self.case.blocks:
+            g = b.g
+            pad = out_mod.assign_corner_ghosts(prim_pads[b.index], g)
+            nprim = out_mod.cell_to_node_state(pad, g)
+            aux_in = auxs[b.index]
+            naux = {}
+            t_pad = np.asarray(phys.temperature(
+                jnp.asarray(pad[phys.ie]), jnp.asarray(pad[:phys.ns])))
+            naux["temperature"] = out_mod.cell_to_node_state(t_pad, g)
+            if self.cfg["viscous"]:
+                rho_pad = pad[:phys.ns].sum(axis=0)
+                mu_pad = np.asarray(phys.viscosity(
+                    jnp.asarray(t_pad),
+                    jnp.asarray(pad[:phys.ns] / rho_pad)))
+                naux["viscosity"] = out_mod.cell_to_node_state(mu_pad, g)
+            naux["wall_dist"] = out_mod.cell_to_node_ghost_ignore_edge(
+                np.asarray(b.geom["wall_dist"]), g)
+            for k in ("dt",):
+                if k in aux_in:
+                    naux[k] = out_mod.cell_to_node_noghost_ignore_edge(
+                        aux_in[k])
+            if "resid" in aux_in:
+                naux["resid"] = out_mod.cell_to_node_noghost_ignore_edge(
+                    aux_in["resid"])
+            for k in ("mut", "f1", "f2"):
+                if k in aux_in:
+                    padk = np.pad(aux_in[k], 1, mode="edge")
+                    naux[k] = out_mod.cell_to_node_state(padk, 1)
+            fg = aux_in.get("face_grads")
+            if fg:
+                ca = {}
+                for key in ("vel", "temp", "rho", "press", "tke", "omega"):
+                    if key in fg["i"]:
+                        ca[key] = out_mod.face_grads_to_node(
+                            {d: fg[d][key] for d in fg},
+                            (b.ni, b.nj, b.nk))
+                naux["cellavg"] = ca
+            nodal_prims.append(nprim)
+            nodal_auxs.append(naux)
+        out_mod.write_fun_file(f"{self.sim_root}_{iteration}.fun", names,
+                               nodal_prims, phys, deck, nodal_auxs)
+        out_mod.write_meta(f"{self.sim_root}.p3d", self.sim_root,
+                           deck["gridName"], iteration, names,
+                           is_center=False)
 
     def _wall_face_centers(self, b, spec):
         """face centers (n1, n2, 3) of a viscousWall surface patch."""

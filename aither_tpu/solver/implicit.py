@@ -30,6 +30,7 @@ from ..grid.geometry import AX
 from ..physics.models import Physics
 from . import state as st
 from .flux import physical_flux
+from .sput import set_region
 
 
 # ---------------------------------------------------------------------------
@@ -387,7 +388,7 @@ def dplur_sweep(phys: Physics, cfg, block, ctx, prim, du_padded, b, inv_flow,
     L = offdiag_sum(phys, cfg, block, ctx, prim, du_padded, "lower", aux)
     U = offdiag_sum(phys, cfg, block, ctx, prim, du_padded, "upper", aux)
     x = diag_mult(phys, inv_flow, inv_turb, b + L - U)
-    return du_padded.at[P].set(x)
+    return set_region(du_padded, P, x)
 
 
 # ---------------------------------------------------------------------------
@@ -543,7 +544,7 @@ def lusgs_forward(phys: Physics, cfg, block, ctx, prim, du_padded, b_skew,
     g = block.g
     Psl = (slice(None), slice(g, g + block.ni), slice(g, g + block.nj),
            slice(g, g + block.nk))
-    return du_padded.at[Psl].set(x)
+    return set_region(du_padded, Psl, x)
 
 
 def lusgs_backward(phys: Physics, cfg, block, ctx, prim, du_padded, b_skew,
@@ -622,7 +623,7 @@ def lusgs_backward(phys: Physics, cfg, block, ctx, prim, du_padded, b_skew,
     g = block.g
     Psl = (slice(None), slice(g, g + block.ni), slice(g, g + block.nj),
            slice(g, g + block.nk))
-    return du_padded.at[Psl].set(x)
+    return set_region(du_padded, Psl, x)
 
 
 def skew_scalar(ctx, arr_padded):

@@ -19,6 +19,7 @@ from . import bc as bc_mod
 from . import state as st
 from .reconstruction import reconstruct_faces
 from .flux import inviscid_flux
+from .sput import set_region
 
 RK4_ALPHA = (0.25, 1.0 / 3.0, 0.5, 1.0)  # low-storage RK4 (procBlock.cpp:941)
 
@@ -135,7 +136,8 @@ def apply_boundary_ghosts(phys: Physics, block, prim, viscous_pass=False,
             interior = prim[_plane(prim, ax, src, spec.patch)]
             ghost = bc_mod.ghost_state(phys, bct, interior, norm, spec.data,
                                        layer, **kw)
-            prim = prim.at[_plane(prim, ax, gcell, spec.patch)].set(ghost)
+            prim = set_region(prim, _plane(prim, ax, gcell, spec.patch),
+                              ghost)
     return prim
 
 
@@ -252,7 +254,7 @@ def apply_edge_ghosts(phys: Physics, block, prim, viscous_pass=False,
                             ghost = jnp.where(
                                 (w2 & ~w3)[None], ghost_w2,
                                 jnp.where((~w2 & w3)[None], ghost_w3, normal))
-                        prim = prim.at[sl(c2, c3)].set(ghost)
+                        prim = set_region(prim, sl(c2, c3), ghost)
     return prim
 
 
@@ -373,7 +375,7 @@ def swap_connection_states(phys: Physics, blocks, prims, conn, g):
             idx[1 + AX[acceptor.direction]] = gidx
             idx[1 + AX[acceptor.d1]] = a1
             idx[1 + AX[acceptor.d2]] = a2
-            prim_a = prim_a.at[tuple(idx)].set(plane)
+            prim_a = set_region(prim_a, tuple(idx), plane)
         out[acceptor.block] = prim_a
     return out
 
@@ -524,8 +526,8 @@ def full_residual(phys: Physics, cfg, block, prim):
         # padded aux arrays for implicit off-diagonal Jacobians
         g = block.g
         P = tuple(slice(g, g + n) for n in (block.ni, block.nj, block.nk))
-        mut_pad = jnp.zeros_like(mu_all).at[P].set(cellavg["mut"])
-        f1_pad = jnp.zeros_like(mu_all).at[P].set(cellavg["f1"])
+        mut_pad = set_region(jnp.zeros_like(mu_all), P, cellavg["mut"])
+        f1_pad = set_region(jnp.zeros_like(mu_all), P, cellavg["f1"])
         aux = {"mu": mu_all, "mut": mut_pad, "f1": f1_pad,
                "press_grad": cellavg["press"], "vel_grad": cellavg["vel"],
                "cellavg": cellavg}
@@ -601,8 +603,8 @@ def full_residual(phys: Physics, cfg, block, prim):
             vg_pad = jnp.zeros((3, 3) + prim.shape[1:], prim.dtype)
             P2 = tuple(slice(g2, g2 + n) for n in (block.ni, block.nj,
                                                    block.nk))
-            aux["vgrad"] = vg_pad.at[(slice(None), slice(None)) + P2].set(
-                cellavg["vel"])
+            aux["vgrad"] = set_region(
+                vg_pad, (slice(None), slice(None)) + P2, cellavg["vel"])
 
     return resid, sr_flow, sr_turb, diag_flow, diag_turb, cellavg, prim, aux
 
@@ -626,7 +628,7 @@ def explicit_euler_update(phys: Physics, block, prim, resid, dt):
     cons = st.cons_from_prim(phys, interior)
     vol = block.geom["vol"][P[1:]]
     cons = cons - (dt / vol)[None] * resid
-    return prim.at[P].set(st.prim_from_cons(phys, cons))
+    return set_region(prim, P, st.prim_from_cons(phys, cons))
 
 
 def rk4_update(phys: Physics, block, prim, cons_n, resid, dt, stage):
@@ -636,7 +638,7 @@ def rk4_update(phys: Physics, block, prim, cons_n, resid, dt, stage):
          slice(g, g + block.nk))
     vol = block.geom["vol"][P[1:]]
     cons = cons_n - (dt / vol)[None] * RK4_ALPHA[stage] * resid
-    return prim.at[P].set(st.prim_from_cons(phys, cons))
+    return set_region(prim, P, st.prim_from_cons(phys, cons))
 
 
 def implicit_update(phys: Physics, block, prim, du):
@@ -645,7 +647,7 @@ def implicit_update(phys: Physics, block, prim, du):
     P = (slice(None), slice(g, g + block.ni), slice(g, g + block.nj),
          slice(g, g + block.nk))
     interior = prim[P]
-    return prim.at[P].set(st.update_prim_with_cons(phys, interior, du))
+    return set_region(prim, P, st.update_prim_with_cons(phys, interior, du))
 
 
 def residual_norms(resid):
