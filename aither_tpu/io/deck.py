@@ -500,6 +500,11 @@ class Deck:
             self.output_variables,
             lambda v: v.startswith("mf_")
             and v[3:] not in self.species_names, "missing-species")
+        # the reference stores output variables in a std::set<string>, so
+        # the .fun column order is ASCII-lexicographic, not deck order
+        # (reference: input.hpp:105-106, output.cpp:228 loop over the set)
+        self.output_variables = sorted(set(self.output_variables))
+        self.wall_output_variables = sorted(set(self.wall_output_variables))
 
         # reference speed of sound: a = sqrt(sum_s mf_s * gamma_s R_s Tref)
         # assuming calorically perfect for gamma (input.cpp:616-621)

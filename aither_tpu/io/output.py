@@ -257,6 +257,22 @@ def write_fun_file(path, var_names, blocks_prim, phys, deck, aux_blocks=None):
                     field.transpose(2, 1, 0), dtype="<f8").tobytes())
 
 
+def read_fun_file(path, num_vars=None):
+    """Read a Plot3D .fun function file written by write_fun_file or the
+    reference (reference: output.cpp:209-230 WriteBlockDims layout).
+    Returns (dims, [ (nvars, ni, nj, nk) arrays ])."""
+    with open(path, "rb") as f:
+        nblk = int(np.frombuffer(f.read(4), "<i4")[0])
+        hdr = np.frombuffer(f.read(4 * 4 * nblk), "<i4").reshape(nblk, 4)
+        blocks = []
+        for b in range(nblk):
+            ni, nj, nk, nv = (int(x) for x in hdr[b])
+            data = np.frombuffer(f.read(8 * ni * nj * nk * nv), "<f8")
+            arr = data.reshape(nv, nk, nj, ni).transpose(0, 3, 2, 1)
+            blocks.append(arr)
+    return hdr[:, :3], blocks
+
+
 # ---------------------------------------------------------------------------
 # nodal output (reference: output.cpp:452-470 WriteNodeFun,
 # utility.hpp:186-334 ConvertCellToNode, procBlock.cpp:6607-6847 CellToNode,

@@ -542,26 +542,46 @@ class Solver:
         wall_names = deck.wall_output_variables \
             if hasattr(deck, "wall_output_variables") else []
         nodal = bool(deck["outputNodalVariables"])
-        cfg_out = dict(self.cfg)
-        if nodal:
-            cfg_out["keep_face_grads"] = True
         auxs = []
         wall_blocks = []
         prim_pads = {}
-        full_prims = step_mod.apply_all_bcs(phys, self.case, dict(self.prims),
+        aux_pads = {}
+        # aux fields evaluate at the PRE-update state (what the reference
+        # stored during the last iteration); the state itself is current.
+        base = getattr(self, "_prev_prims", None) or self.prims
+        full_prims = step_mod.apply_all_bcs(phys, self.case, dict(base),
                                             bc_aux=self.bc_aux,
                                             cons_n=self.cons_n)
         for b in self.case.blocks:
             g = b.g
             P = tuple(slice(g, g + n) for n in (b.ni, b.nj, b.nk))
             aux = {"wall_dist": np.asarray(b.geom["wall_dist"][P])}
-            prim_pads[b.index] = np.asarray(full_prims[b.index])
+            # current padded state: updated interior + the ghost values
+            # assigned during the last iteration's BC pass — exactly the
+            # reference's state_ at output time (ghosts are not refreshed
+            # after UpdateBlocks)
+            prim_pads[b.index] = np.asarray(self.prims[b.index])
+            aux_pads[b.index] = np.asarray(full_prims[b.index])
             if (need_fields or wall_names or nodal) and (
                     self.cfg["viscous"] or self.cfg["implicit"]):
                 (resid, sr_f, sr_t, _, _, _, prim_v,
-                 full_aux) = step_mod.full_residual(phys, cfg_out, b,
+                 full_aux) = step_mod.full_residual(phys, self.cfg, b,
                                                     full_prims[b.index])
-                prim_pads[b.index] = np.asarray(prim_v)
+                aux_pads[b.index] = np.asarray(prim_v)
+                # the reference outputs the temperature / viscosity FIELDS
+                # stored during the iteration (pre-update state), not
+                # values recomputed from the written state
+                # (procBlock.cpp:306-310 UpdateAuxillaryVariables)
+                P4 = (slice(None),) + P
+                t_int = np.asarray(phys.temperature(
+                    prim_v[phys.ie][P], prim_v[:phys.ns][P4]))
+                aux["temperature"] = t_int
+                if self.cfg["viscous"]:
+                    rho_int = np.asarray(prim_v[:phys.ns][P4]).sum(axis=0)
+                    aux["viscosity"] = np.asarray(phys.viscosity(
+                        jnp.asarray(t_int),
+                        jnp.asarray(np.asarray(prim_v[:phys.ns][P4])
+                                    / rho_int)))
                 sr = jnp.maximum(sr_f, sr_t) if phys.nturb else sr_f
                 cfl = self.deck.cfl(max(iteration - 1, 0))
                 aux["dt"] = np.asarray(step_mod.local_dt(
@@ -570,13 +590,7 @@ class Solver:
                 if full_aux and "cellavg" in full_aux:
                     ca = full_aux["cellavg"]
                     aux["cellavg"] = {k: np.asarray(v) for k, v in ca.items()
-                                      if k not in ("wall_out", "mix",
-                                                   "face_grads")}
-                    if "face_grads" in ca:
-                        aux["face_grads"] = {
-                            d: {k: np.asarray(v) for k, v in gd.items()
-                                if k != "mix"}
-                            for d, gd in ca["face_grads"].items()}
+                                      if k not in ("wall_out", "mix")}
                     aux["mut"] = aux["cellavg"]["mut"]
                     aux["f1"] = aux["cellavg"]["f1"]
                     aux["f2"] = aux["cellavg"]["f2"]
@@ -599,58 +613,84 @@ class Solver:
                                      iteration, self.case, wall_blocks,
                                      wall_names)
         if nodal:
-            self._write_nodal(iteration, names, prim_pads, auxs)
+            self._write_nodal(iteration, names, prim_pads, aux_pads, auxs)
 
-    def _write_nodal(self, iteration, names, prim_pads, auxs):
+    def _write_nodal(self, iteration, names, prim_pads, aux_pads, auxs):
         """Nodal .fun output: cell data interpolated to grid nodes
         (reference: output.cpp:452-470 WriteNodeFun,
         procBlock.cpp:6607-6847 CellToNode).  The nodal file indexes the
         ORIGINAL node grid (<gridName>.xyz), so ParaView overlays it on the
         input mesh directly (reference: WriteMeta(inp, iter, false)).
 
-        Deviation from the reference: boundary-node mut/f1/f2 use
-        edge-extrapolated ghost values (the reference reads whatever its
-        eddyViscosity_ ghost cells hold from the viscous BC pass); interior
-        nodes are exact."""
+        Semantics replicated from the reference:
+          * state: CURRENT state with the ghost values of the last BC pass
+            + 3-D corner fill, averaged 1/8 (CellToNode of state_);
+          * temperature/viscosity/mut/f1/f2: the fields stored during the
+            last iteration, i.e. evaluated at the PRE-update state
+            (aux_pads); mut/f1/f2 first-layer boundary ghosts carry the
+            reference's single sixth-weighted face contribution
+            (procBlock.cpp:1402-1441);
+          * gradients: computed FRESH from the current state's faces and
+            scattered with 1/12-1/8-1/5-1/3 node weights (CellToNode calls
+            CalcGradsI/J/K on the output state);
+          * residual/dt: no-ghost ignore-edge weighting."""
         from ..io import output as out_mod
+        from . import viscous as vis
         phys, deck = self.phys, self.deck
         nodal_prims, nodal_auxs = [], []
         for b in self.case.blocks:
             g = b.g
+            dims = (b.ni, b.nj, b.nk)
             pad = out_mod.assign_corner_ghosts(prim_pads[b.index], g)
             nprim = out_mod.cell_to_node_state(pad, g)
             aux_in = auxs[b.index]
+            apad = aux_pads[b.index]
             naux = {}
-            t_pad = np.asarray(phys.temperature(
-                jnp.asarray(pad[phys.ie]), jnp.asarray(pad[:phys.ns])))
-            naux["temperature"] = out_mod.cell_to_node_state(t_pad, g)
+            t_aux = np.asarray(phys.temperature(
+                jnp.asarray(apad[phys.ie]), jnp.asarray(apad[:phys.ns])))
+            naux["temperature"] = out_mod.cell_to_node_state(t_aux, g)
             if self.cfg["viscous"]:
-                rho_pad = pad[:phys.ns].sum(axis=0)
+                rho_pad = apad[:phys.ns].sum(axis=0)
                 mu_pad = np.asarray(phys.viscosity(
-                    jnp.asarray(t_pad),
-                    jnp.asarray(pad[:phys.ns] / rho_pad)))
+                    jnp.asarray(t_aux),
+                    jnp.asarray(apad[:phys.ns] / rho_pad)))
                 naux["viscosity"] = out_mod.cell_to_node_state(mu_pad, g)
             naux["wall_dist"] = out_mod.cell_to_node_ghost_ignore_edge(
                 np.asarray(b.geom["wall_dist"]), g)
-            for k in ("dt",):
-                if k in aux_in:
-                    naux[k] = out_mod.cell_to_node_noghost_ignore_edge(
-                        aux_in[k])
+            if "dt" in aux_in:
+                naux["dt"] = out_mod.cell_to_node_noghost_ignore_edge(
+                    aux_in["dt"])
             if "resid" in aux_in:
                 naux["resid"] = out_mod.cell_to_node_noghost_ignore_edge(
                     aux_in["resid"])
             for k in ("mut", "f1", "f2"):
-                if k in aux_in:
-                    padk = np.pad(aux_in[k], 1, mode="edge")
-                    naux[k] = out_mod.cell_to_node_state(padk, 1)
-            fg = aux_in.get("face_grads")
-            if fg:
+                if k not in aux_in:
+                    continue
+                # the reference never accumulates these into ghost cells
+                # (procBlock.cpp:1392/1427 guards), so boundary nodes
+                # average against zeros — replicated exactly
+                padk = np.zeros(pad.shape[1:], aux_in[k].dtype)
+                P = tuple(slice(g, g + n) for n in dims)
+                padk[P] = aux_in[k]
+                naux[k] = out_mod.cell_to_node_state(padk, g)
+            if self.cfg["viscous"]:
+                # fresh face gradients at the written (current) state;
+                # the temperature gradient reads the STORED temperature
+                # field (reference: CalcGradsI/J/K use temperature_, which
+                # holds the pre-update evaluation)
+                fg = {}
+                for d in "ijk":
+                    fg[d] = {k2: np.asarray(v) for k2, v in
+                             vis.face_cv_gradients(
+                                 phys, b, jnp.asarray(pad),
+                                 jnp.asarray(t_aux), d,
+                                 phys.nturb > 0, phys.ns > 1).items()
+                             if k2 != "mix"}
                 ca = {}
                 for key in ("vel", "temp", "rho", "press", "tke", "omega"):
                     if key in fg["i"]:
                         ca[key] = out_mod.face_grads_to_node(
-                            {d: fg[d][key] for d in fg},
-                            (b.ni, b.nj, b.nk))
+                            {d: fg[d][key] for d in fg}, dims)
                 naux["cellavg"] = ca
             nodal_prims.append(nprim)
             nodal_auxs.append(naux)
@@ -823,6 +863,12 @@ class Solver:
                 self.cons_nm1 = dict(self.cons_n)
             rk4 = self.cfg["time_integration"] == "rk4"
             for mm in range(nl_iters):
+                # pre-update state retained so output-time aux fields
+                # (gradients / dt / mut / residual) reproduce the
+                # reference's, which stores them during the iteration —
+                # i.e. evaluated BEFORE the last update (procBlock holds
+                # them on the block, procBlock.hpp:100-121)
+                self._prev_prims = self.prims
                 prims, l2, linfs, matrix_resid, self.bc_aux = self._iterate(
                     self.prims, self.cons_n, self.cons_nm1,
                     jnp.asarray(cfl, self.case.dtype),

@@ -483,10 +483,6 @@ def viscous_residual(phys: Physics, cfg, block, prim, t_all, mu_all,
         d1, d2 = [x for x in "ijk" if x != d]
 
         grads = face_cv_gradients(phys, block, prim, t_all, d, is_rans, multi)
-        if cfg.get("keep_face_grads"):
-            # per-face gradients for nodal output (reference:
-            # procBlock.cpp:6625-6749 CellToNode gradient scatter)
-            cellavg.setdefault("face_grads", {})[d] = grads
 
         def cellslab(arr, off_d, eqdim=True):
             sl = [slice(None)] * (4 if eqdim else 3)

@@ -32,11 +32,16 @@ IMPLICIT_CASES = {
                             1.9215e-02], {3}),
     # isentropic vortex convection: point-cloud file IC + periodic
     # translation connection + nonreflecting (LODI) inlet/pressureOutlet +
-    # BDF2 with 10 nonlinear iterations; goldens from the reference binary
-    # single-rank at 20 outer iterations (2% tol: LODI switching amplifies
-    # roundoff over the 200 inner iterations)
-    "convectingVortex": (20, [7.5882e-01, 9.8373e-01, 9.8052e-01,
-                              1.0000e+00, 9.6976e-01], {3}, 0.02),
+    # BDF2 with 10 nonlinear iterations; OFFICIAL config and goldens
+    # (regressionTests.py:507-509, 100 outer iterations).  4% tolerance,
+    # justified by tools/compare_trajectory.py: against the locally-built
+    # reference binary our residual rows are identical to all 5 printed
+    # digits for the first ~30 inner iterations, the ignored mom-z column
+    # is roundoff noise from iteration 0, and the drift grows smoothly
+    # (2e-5 @ step 5, 4e-3 @ step 20, 2.5e-2 @ step 99) — the LODI
+    # switching amplifies 1-ulp cross-implementation differences by ~1e12.
+    "convectingVortex": (100, [5.2772e+00, 6.3732e-01, 7.0928e-01,
+                               1.0000e+00, 7.9563e-01], {3}, 0.04),
     # O2 dissociation: reacting Arrhenius chemistry + thermally perfect
     # thermo + BDF2 dual time stepping (5 nonlinear iterations) + BDPLUR
     # with the finite-difference chemistry source Jacobian; official
@@ -67,18 +72,11 @@ VISCOUS_CASES = {
     "supersonicMixing": (20, [2.1360e-01, 1.5278e-01, 1.3632e+00,
                               5.5599e-01, 3.3470e-01, 3.6610e-04,
                               1.2393e-05], {3}, 0.02),
-    # thermally perfect gas (vibrational-energy thermo, Ridder T inversion).
-    # 4% tolerance: state trajectories agree to 1e-13 stepwise but the
-    # residual operator amplifies roundoff ~1e11x, spreading Res-Omega a
-    # few percent by iteration 20 (verified by dump-level comparison).
-    "thermallyPerfect": (20, [5.8177e-01, 3.8066e-01, 4.8670e-01,
-                              1.0000e+00, 5.9931e-01, 1.2830e-06,
-                              3.5031e-04], {3}, 0.04),
 }
 
 
 def run_and_compare(case, iters, goldens, ignored, tmp_path, tol=0.01,
-                    nproc=1):
+                    nproc=1, eq_tol=None):
     from aither_tpu.solver.driver import Solver
     deck = os.path.join(CASES, case, f"{case}.inp")
     solver = Solver(deck, workdir=str(tmp_path), nproc=nproc)
@@ -92,7 +90,8 @@ def run_and_compare(case, iters, goldens, ignored, tmp_path, tol=0.01,
     for i, (got, want) in enumerate(zip(resids, goldens)):
         if i in ignored:
             continue
-        assert got == pytest.approx(want, rel=tol), (
+        t = (eq_tol or {}).get(i, tol)
+        assert got == pytest.approx(want, rel=t), (
             f"{case} eq {i}: {got} vs golden {want}")
 
 
@@ -143,6 +142,15 @@ TWO_PROC_CASES = {
     "supersonicMixing": (20, [2.1642e-01, 1.5503e-01, 1.3670e+00,
                               8.2043e-02, 3.3908e-01, 3.6563e-04,
                               1.2388e-05], {3}),
+    # thermally perfect gas (vibrational-energy thermo, Ridder T inversion)
+    # in its OFFICIAL 2-proc configuration (regressionTests.py:463-471).
+    # All equations agree with the official goldens to 0.1% except sdr
+    # (eq 6, 2.7% drift): the omega-equation residual amplifies 1-ulp
+    # state differences ~1e11x (same behavior as turbFlatPlate), so sdr
+    # gets a per-equation 3% bound.
+    "thermallyPerfect": (20, [5.8177e-01, 3.8066e-01, 4.8670e-01,
+                              1.0000e+00, 5.9931e-01, 1.2830e-06,
+                              3.5031e-04], {3}, 0.01, {6: 0.03}),
 }
 
 
@@ -153,8 +161,9 @@ def test_two_proc_regression(case, tmp_path):
     spec = TWO_PROC_CASES[case]
     iters, goldens, ignored = spec[:3]
     tol = spec[3] if len(spec) > 3 else 0.01
+    eq_tol = spec[4] if len(spec) > 4 else None
     run_and_compare(case, iters, goldens, ignored, tmp_path, tol=tol,
-                    nproc=2)
+                    nproc=2, eq_tol=eq_tol)
 
 
 # block-matrix solvers: same cases re-run by the reference with
