@@ -144,6 +144,12 @@ class ImplicitContext:
     # neighbor-contribution masks (ni, nj, nk) per direction/side
     mask_lower: dict
     mask_upper: dict
+    # block dims for the shear-based skew transforms
+    g: int = 0
+    dims: tuple = (0, 0, 0)
+    block: object = None
+    # lazily built static skewed face geometry per sweep side
+    _static_nbr: dict = dataclasses.field(default_factory=dict)
 
 
 def _connection_face_mask(block, d: str, lower: bool):
@@ -200,18 +206,122 @@ def build_implicit_context(block) -> ImplicitContext:
     return ImplicitContext(
         nplanes=P, skew_i=skew_i, skew_j=skew_j, skew_k=skew_k,
         skew_valid=valid_cell, unskew_p=unskew_p, unskew_j=unskew_j,
-        unskew_k=unskew_k, mask_lower=mask_lower, mask_upper=mask_upper)
+        unskew_k=unskew_k, mask_lower=mask_lower, mask_upper=mask_upper,
+        g=g, dims=(ni, nj, nk), block=block)
+
+
+# ---------------------------------------------------------------------------
+# shear-based skew transforms.
+#
+# The hyperplane map S[p, a, b] = A[p-1-(a-1)-(b-1) + g, a-1+g, b-1+g] is a
+# double shear, expressible as pad + reshape (the classic wavefront /
+# diagonal-reindex trick) instead of a gather — TPU gathers over a 3-D
+# operand serialize (~1 ms for the rae2822 block; 18 of them dominated the
+# iteration), while the shear is a bandwidth-bound relayout (~µs).
+# Out-of-range slots (|i| beyond the ghost padding) become `fill`; every
+# consumer masks those slots (skew_valid / mask channels), exactly as it
+# masked the clamped-gather garbage before.
+
+
+def _shear_sub(x, d0, dA, Q, fill):
+    """out[..., q@d0, ..., a@dA, ...] = x[..., q - a, ..., a, ...] for
+    q in [0, Q); out-of-range reads give `fill`."""
+    n0 = x.shape[d0]
+    A = x.shape[dA]
+    L = Q + A
+    x = jnp.moveaxis(x, (dA, d0), (-2, -1))       # (..., A, n0)
+    pads = [(0, 0)] * (x.ndim - 1) + [(0, L - n0)]
+    x = jnp.pad(x, pads, constant_values=fill)     # (..., A, L)
+    flat = x.reshape(x.shape[:-2] + (A * L,))
+    flat = flat[..., :A * (L - 1)]
+    out = flat.reshape(x.shape[:-2] + (A, L - 1))[..., :Q]
+    return jnp.moveaxis(out, (-2, -1), (dA, d0))
+
+
+def _shear_add(x, d0, dA, Q, fill):
+    """out[..., q@d0, ..., a@dA, ...] = x[..., q + a, ..., a, ...]"""
+    n0 = x.shape[d0]
+    A = x.shape[dA]
+    L = max(n0, Q + A - 1)
+    x = jnp.moveaxis(x, (dA, d0), (-2, -1))
+    pads = [(0, 0)] * (x.ndim - 1) + [(0, L - n0)]
+    x = jnp.pad(x, pads, constant_values=fill)     # (..., A, L)
+    flat = x.reshape(x.shape[:-2] + (A * L,))
+    pads = [(0, 0)] * (flat.ndim - 1) + [(0, A)]
+    flat = jnp.pad(flat, pads, constant_values=fill)   # (..., A*(L+1))
+    out = flat.reshape(x.shape[:-2] + (A, L + 1))[..., :Q]
+    return jnp.moveaxis(out, (-2, -1), (dA, d0))
+
+
+def shear_skew(arr, g, dims, fill=0.0):
+    """padded (..., ni+2g, nj+2g, nk+2g) -> skewed (..., P, J2, K2)."""
+    ni, nj, nk = dims
+    P = ni + nj + nk
+    arr = jnp.asarray(arr)
+    # crop the in-plane rim to the one ghost layer the skew carries
+    x = arr[..., :, g - 1:g + nj + 1, g - 1:g + nk + 1]
+    nd = x.ndim
+    d_i, d_j, d_k = nd - 3, nd - 2, nd - 1
+    # i_pad = (p + 1 + g) - a - b: shear over b, then over a, then shift
+    Q = P + g + 2
+    y = _shear_sub(x, d_i, d_k, Q, fill)
+    z = _shear_sub(y, d_i, d_j, Q, fill)
+    sl = [slice(None)] * nd
+    sl[d_i] = slice(1 + g, 1 + g + P)
+    return z[tuple(sl)]
+
+
+def shear_unskew(s, dims):
+    """skewed (..., P, J2, K2) -> physical (..., ni, nj, nk):
+    U[i,j,k] = S[i+j+k+1, j+1, k+1]."""
+    ni, nj, nk = dims
+    nd = s.ndim
+    d_p, d_j, d_k = nd - 3, nd - 2, nd - 1
+    sl = [slice(None)] * nd
+    sl[d_j] = slice(1, 1 + nj)
+    sl[d_k] = slice(1, 1 + nk)
+    x = s[tuple(sl)]
+    y = _shear_add(x, d_p, d_k, ni + nj + 1, 0.0)
+    z = _shear_add(y, d_p, d_j, ni + 1, 0.0)
+    sl = [slice(None)] * nd
+    sl[d_p] = slice(1, 1 + ni)
+    return z[tuple(sl)]
+
+
+def _shift_pad(arr, ax, offs):
+    """arr2[..., x, ...] = arr[..., clip(x + offs), ...] (edge replicate,
+    matching the gather clip)."""
+    if offs == 0:
+        return arr
+    n = arr.shape[ax]
+    sl = [slice(None)] * arr.ndim
+    pads = [(0, 0)] * arr.ndim
+    if offs > 0:
+        sl[ax] = slice(offs, n)
+        pads[ax] = (0, offs)
+    else:
+        sl[ax] = slice(0, n + offs)
+        pads[ax] = (-offs, 0)
+    return jnp.pad(jnp.asarray(arr)[tuple(sl)], pads, mode="edge")
 
 
 def skew(ctx: ImplicitContext, arr, fill=0.0):
     """(neq, NI, NJ, NK) -> (neq, P, J2, K2)"""
-    out = arr[:, ctx.skew_i, ctx.skew_j, ctx.skew_k]
-    return out
+    return shear_skew(arr, ctx.g, ctx.dims, fill)
+
+
+def skew_gather(ctx: ImplicitContext, arr):
+    """gather-based reference implementation (tests only)."""
+    return arr[..., ctx.skew_i, ctx.skew_j, ctx.skew_k]
 
 
 def unskew(ctx: ImplicitContext, arr_skew):
     """(neq, P, J2, K2) -> (neq, ni, nj, nk)"""
-    return arr_skew[:, ctx.unskew_p, ctx.unskew_j, ctx.unskew_k]
+    return shear_unskew(arr_skew, ctx.dims)
+
+
+def unskew_gather(ctx: ImplicitContext, arr_skew):
+    return arr_skew[..., ctx.unskew_p, ctx.unskew_j, ctx.unskew_k]
 
 
 # ---------------------------------------------------------------------------
@@ -367,13 +477,20 @@ def build_block_diagonal(phys: Physics, block, cfg, diag_flow_blk,
 
 
 def skew_from_physical_blk(ctx, mat):
-    """(ni,nj,nk,N,N) -> (P,J2,K2,N,N) in skew slots (identity elsewhere so
-    inverse application at invalid slots is benign)."""
-    import jax.numpy as jnp
+    """(ni,nj,nk,N,N) -> (P,J2,K2,N,N) in skew slots (identity at the
+    ghost rim so inverse application at invalid slots is benign; shear
+    fill zones are masked by every consumer)."""
     N = mat.shape[-1]
-    shape = ctx.skew_valid.shape
-    out = jnp.zeros(shape + (N, N), mat.dtype) + jnp.eye(N, dtype=mat.dtype)
-    return out.at[ctx.unskew_p, ctx.unskew_j, ctx.unskew_k].set(mat)
+    ni, nj, nk = ctx.dims
+    g = ctx.g
+    eye = jnp.broadcast_to(jnp.eye(N, dtype=mat.dtype),
+                           (ni + 2 * g, nj + 2 * g, nk + 2 * g, N, N))
+    from .sput import set_region
+    P = (slice(g, g + ni), slice(g, g + nj), slice(g, g + nk))
+    pad = set_region(eye, P, mat)
+    pad = jnp.moveaxis(pad, (-2, -1), (0, 1))
+    out = shear_skew(pad, g, ctx.dims, 0.0)
+    return jnp.moveaxis(out, (0, 1), (-2, -1))
 
 
 # ---------------------------------------------------------------------------
@@ -395,61 +512,99 @@ def dplur_sweep(phys: Physics, cfg, block, ctx, prim, du_padded, b, inv_flow,
 # LUSGS wavefront sweeps
 
 
-def _skewed_neighbor_inputs(phys, cfg, block, ctx, prim, side: str,
-                            aux=None):
-    """Skewed per-direction neighbor states and face geometry used inside the
-    scan.  For the forward sweep (side='lower') neighbor of slot (p,j,k) in
-    direction d sits at plane p-1 with an in-plane shift for j/k."""
-    g = block.g
+def _static_neighbor_geom(ctx, block, side: str, viscous: bool, dtype):
+    """Skewed face geometry + masks per direction for one sweep side.
+    These are constants per block, so the (slow on device) index gathers
+    run ONCE on the host with numpy and the results are cached on the
+    context."""
+    key = (side, viscous, np.dtype(dtype).name)
+    if key in ctx._static_nbr:
+        return ctx._static_nbr[key]
     offs = -1 if side == "lower" else 1
-    inputs = {}
+    shape = np.asarray(block.geom["vol"]).shape
+    center = np.asarray(block.geom["center"])
+    out = {}
     for d in "ijk":
         ax = AX[d]
-        # neighbor gather: padded index of the neighbor cell per skew slot
-        si = ctx.skew_i + (offs if ax == 0 else 0)
-        sj = ctx.skew_j + (offs if ax == 1 else 0)
-        sk = ctx.skew_k + (offs if ax == 2 else 0)
-        si = np.clip(si, 0, prim.shape[1] - 1)
-        sj = np.clip(sj, 0, prim.shape[2] - 1)
-        sk = np.clip(sk, 0, prim.shape[3] - 1)
-        q_nb = prim[:, si, sj, sk]
-        # shared face: lower side -> cell's own face index; upper -> +1
+        si = np.clip(ctx.skew_i + (offs if ax == 0 else 0), 0, shape[0] - 1)
+        sj = np.clip(ctx.skew_j + (offs if ax == 1 else 0), 0, shape[1] - 1)
+        sk = np.clip(ctx.skew_k + (offs if ax == 2 else 0), 0, shape[2] - 1)
         fi = ctx.skew_i + (1 if (ax == 0 and side == "upper") else 0)
         fj = ctx.skew_j + (1 if (ax == 1 and side == "upper") else 0)
         fk = ctx.skew_k + (1 if (ax == 2 and side == "upper") else 0)
-        nvec_all = block.geom[f"n_{d}"]
-        mag_all = block.geom[f"mag_{d}"]
+        nvec_all = np.asarray(block.geom[f"n_{d}"])
+        mag_all = np.asarray(block.geom[f"mag_{d}"])
         fi = np.clip(fi, 0, nvec_all.shape[1] - 1)
         fj = np.clip(fj, 0, nvec_all.shape[2] - 1)
         fk = np.clip(fk, 0, nvec_all.shape[3] - 1)
-        nvec = nvec_all[:, fi, fj, fk]
-        mag = mag_all[fi, fj, fk]
-        # contribution mask skewed
         mask_n = (ctx.mask_lower if side == "lower" else ctx.mask_upper)[d]
         mask_pad = np.zeros(ctx.skew_valid.shape, dtype=bool)
         mask_pad[ctx.unskew_p, ctx.unskew_j, ctx.unskew_k] = mask_n
-        kw = {}
-        if cfg.get("viscous", False):
-            kw = _skewed_viscous_kw(phys, cfg, block, ctx, d, si, sj, sk,
-                                    fi, fj, fk, aux)
-        inputs[d] = dict(q_nb=q_nb, n=nvec, mag=mag,
-                         mask=jnp.asarray(mask_pad), **kw)
-    return inputs
-
-
-def _skewed_viscous_kw(phys, cfg, block, ctx, d, si, sj, sk, fi, fj, fk, aux):
-    center = block.geom["center"]
-    c_cell = center[:, ctx.skew_i, ctx.skew_j, ctx.skew_k]
-    c_nb = center[:, si, sj, sk]
-    nvec = block.geom[f"n_{d}"][:, fi, fj, fk]
-    dist = jnp.abs(((c_cell - c_nb) * nvec).sum(axis=0))
-    out = dict(dist=dist)
-    out["mu"] = aux["mu"][si, sj, sk] if aux else None
-    out["mut"] = aux["mut"][si, sj, sk] if (aux and "mut" in aux) else None
-    out["f1"] = aux["f1"][si, sj, sk] if (aux and "f1" in aux) else None
-    if aux and "vgrad" in aux:
-        out["vgrad"] = aux["vgrad"][:, :, si, sj, sk]
+        ent = dict(n=nvec_all[:, fi, fj, fk].astype(dtype),
+                   mag=mag_all[fi, fj, fk].astype(dtype),
+                   mask=mask_pad)
+        if viscous:
+            c_cell = center[:, ctx.skew_i, ctx.skew_j, ctx.skew_k]
+            c_nb = center[:, si, sj, sk]
+            ent["dist"] = np.abs(((c_cell - c_nb) * ent["n"]).sum(
+                axis=0)).astype(dtype)
+        out[d] = ent
+    ctx._static_nbr[key] = out
     return out
+
+
+def _skewed_neighbor_inputs(phys, cfg, block, ctx, prim, side: str,
+                            aux=None):
+    """Skewed per-direction neighbor states and face geometry used inside
+    the scan.  For the forward sweep (side='lower') the neighbor of slot
+    (p,j,k) in direction d sits at plane p-1 with an in-plane shift for
+    j/k.  Face geometry/masks come precomputed from the context; the
+    dynamic cell fields (state + viscous aux) are stacked and sheared in
+    one pass per direction (no device gathers)."""
+    g = block.g
+    offs = -1 if side == "lower" else 1
+    viscous = cfg.get("viscous", False)
+    static = _static_neighbor_geom(ctx, block, side, viscous, prim.dtype)
+
+    # stack the dynamic per-cell fields: prim (+ mu, mut, f1 [, vgrad])
+    parts = [prim]
+    names = ["q_nb"]
+    if viscous:
+        for kk2 in ("mu", "mut", "f1"):
+            if aux and aux.get(kk2) is not None:
+                parts.append(aux[kk2][None])
+                names.append(kk2)
+        if aux and aux.get("vgrad") is not None:
+            parts.append(aux["vgrad"].reshape((9,) + prim.shape[1:]))
+            names.append("vgrad")
+    stacked = jnp.concatenate(parts, axis=0)
+    neq = phys.neq
+
+    inputs = {}
+    for d in "ijk":
+        ax = 1 + AX[d]
+        shifted = _shift_pad(stacked, ax, offs)
+        sk = shear_skew(shifted, g, ctx.dims, 0.0)
+        ent = dict(n=jnp.asarray(static[d]["n"]),
+                   mag=jnp.asarray(static[d]["mag"]),
+                   mask=jnp.asarray(static[d]["mask"]))
+        pos = 0
+        for nm, part in zip(names, parts):
+            c = part.shape[0]
+            val = sk[pos:pos + c]
+            pos += c
+            if nm == "q_nb":
+                ent["q_nb"] = val
+            elif nm == "vgrad":
+                ent["vgrad"] = val.reshape((3, 3) + val.shape[1:])
+            else:
+                ent[nm] = val[0]
+        if viscous:
+            ent["dist"] = jnp.asarray(static[d]["dist"])
+            for kk2 in ("mu", "mut", "f1"):
+                ent.setdefault(kk2, None)
+        inputs[d] = ent
+    return inputs
 
 
 def _plane_shift(plane, d: str):
@@ -480,10 +635,7 @@ def lusgs_forward(phys: Physics, cfg, block, ctx, prim, du_padded, b_skew,
     if with_upper:
         U_full = offdiag_sum(phys, cfg, block, ctx, prim, du_padded, "upper",
                              aux)
-        U_pad = jnp.zeros((phys.neq,) + ctx.skew_valid.shape, du_padded.dtype)
-        U_skew = U_pad.at[:, ctx.unskew_p, ctx.unskew_j,
-                          ctx.unskew_k].set(U_full)
-        U_term = U_skew
+        U_term = skew_from_physical(ctx, U_full)
 
     P = ctx.nplanes
 
@@ -558,9 +710,7 @@ def lusgs_backward(phys: Physics, cfg, block, ctx, prim, du_padded, b_skew,
     if with_lower:
         L_full = offdiag_sum(phys, cfg, block, ctx, prim, du_padded, "lower",
                              aux)
-        L_pad = jnp.zeros((phys.neq,) + ctx.skew_valid.shape, du_padded.dtype)
-        L_term = L_pad.at[:, ctx.unskew_p, ctx.unskew_j,
-                          ctx.unskew_k].set(L_full)
+        L_term = skew_from_physical(ctx, L_full)
 
     P = ctx.nplanes
 
@@ -628,19 +778,24 @@ def lusgs_backward(phys: Physics, cfg, block, ctx, prim, du_padded, b_skew,
 
 def skew_scalar(ctx, arr_padded):
     """(NI,NJ,NK) scalar -> (P, J2, K2)"""
-    return arr_padded[ctx.skew_i, ctx.skew_j, ctx.skew_k]
+    return shear_skew(arr_padded, ctx.g, ctx.dims)
+
+
+def _embed_physical(ctx, arr_phys, fill):
+    """physical-cell array -> padded array with `fill` in ghosts."""
+    ni, nj, nk = ctx.dims
+    g = ctx.g
+    pads = [(0, 0)] * (arr_phys.ndim - 3) + [(g, g)] * 3
+    return jnp.pad(jnp.asarray(arr_phys), pads, constant_values=fill)
 
 
 def skew_from_physical(ctx, arr_phys):
     """embed physical-cell array (neq, ni,nj,nk) or (ni,nj,nk) into skew
-    slots (zeros elsewhere)."""
-    shape = ctx.skew_valid.shape
-    if arr_phys.ndim == 4:
-        out = jnp.zeros((arr_phys.shape[0],) + shape, arr_phys.dtype)
-        return out.at[:, ctx.unskew_p, ctx.unskew_j,
-                      ctx.unskew_k].set(arr_phys)
-    out = jnp.ones(shape, arr_phys.dtype)
-    return out.at[ctx.unskew_p, ctx.unskew_j, ctx.unskew_k].set(arr_phys)
+    slots (zeros / ones elsewhere — both benign: non-valid slots are
+    masked by every consumer)."""
+    fill = 0.0 if arr_phys.ndim == 4 else 1.0
+    return shear_skew(_embed_physical(ctx, arr_phys, fill), ctx.g, ctx.dims,
+                      fill)
 
 
 def matrix_residual(phys: Physics, cfg, block, ctx, prim, du_padded, b,
