@@ -840,8 +840,102 @@ class Solver:
         j, k = divmod(rem, b.nk)
         return v, (eqn + 1, b.parent, i, j, k)
 
+    # -- chunked device-side stepping ----------------------------------------
+    def _chunk_body(self, carry, cfl):
+        """One full time step — store-old-solution + all nonlinear
+        iterations — traced on device and scanned over a chunk of steps
+        (the reference's per-iteration host loop, main.cpp:231-302,
+        becomes one XLA while loop; only logging stays on host)."""
+        prims, _, cons_nm1, bc_aux = carry
+        phys = self.phys
+        cons_n = {}
+        for b in self.case.blocks:
+            g = b.g
+            P = (slice(None), slice(g, g + b.ni), slice(g, g + b.nj),
+                 slice(g, g + b.nk))
+            cons_n[b.index] = st.cons_from_prim(phys, prims[b.index][P])
+        rk4 = self.cfg["time_integration"] == "rk4"
+        nl_iters = self.deck["nonlinearIterations"]
+        ys = []
+        for mm in range(nl_iters):
+            prims, l2, linfs, mr, bc_aux = self._iteration(
+                prims, cons_n, cons_nm1, cfl, stage=mm if rk4 else 0,
+                bc_aux=bc_aux)
+            ys.append((l2, linfs, mr))
+        new_nm1 = cons_n if self.cfg["multilevel_time"] else cons_nm1
+        return (prims, cons_n, new_nm1, bc_aux), tuple(ys)
+
+    def _run_chunk(self, prims, cons_n, cons_nm1, bc_aux, cfls):
+        """Scan ``len(cfls)`` full time steps in one dispatch.  Returns the
+        final (prims, cons_n, cons_nm1, bc_aux) and the per-step outputs."""
+        if not hasattr(self, "_chunk_jit"):
+            def scan_steps(carry, cfls):
+                return jax.lax.scan(self._chunk_body, carry, cfls)
+            self._chunk_jit = jax.jit(scan_steps)
+        carry, ys = self._chunk_jit((prims, cons_n, cons_nm1, bc_aux), cfls)
+        return carry + (ys,)
+
+    def _log_chunk_outputs(self, nn0, cfls, ys, iter_time, sim_start,
+                           total_dof):
+        """Write the .resid/.tme rows for one completed chunk from the
+        stacked device outputs (identical content to the per-step path)."""
+        nsteps = len(cfls)
+        per = iter_time / nsteps
+        for s in range(nsteps):
+            for mm, (l2s, linfs, mrs) in enumerate(ys):
+                l2 = np.sqrt(np.asarray(l2s)[s])
+                linf_host = [(np.asarray(v)[s], np.asarray(loc)[s])
+                             for v, loc in linfs]
+                linf_val, linf_loc = self._decode_linf(linf_host)
+                mr = float(np.asarray(mrs)[s])
+                mr = np.sqrt(mr / total_dof) if mr > 0 else 0.0
+                self._write_residuals(nn0 + s, mm, float(cfls[s]), l2,
+                                      linf_val, linf_loc, mr)
+            now = time.perf_counter()
+            self.time_file.write(
+                f"{nn0 + s - self.iteration_start:<7d}{per:<16.6e}"
+                f"{now - sim_start:<16.6e}\n")
+
+    @staticmethod
+    def _pick_chunk(iterations, chunk):
+        """Largest divisor of ``iterations`` not above max(chunk, 32), so
+        every chunk reuses ONE compiled scan (a ragged tail chunk would
+        compile a second executable)."""
+        cap = max(chunk, 32)
+        best = 1
+        for d in range(1, cap + 1):
+            if iterations % d == 0:
+                best = d
+        return best if best >= min(4, iterations) else chunk
+
+    def _run_chunked(self, iterations, chunk):
+        """Chunked main loop: no per-iteration host round-trips."""
+        deck = self.deck
+        chunk = self._pick_chunk(iterations, chunk)
+        sim_start = time.perf_counter()
+        if (self.cfg["multilevel_time"] and self.iteration_start == 0):
+            self.cons_nm1 = dict(self.store_old_solution())
+        prims, cons_n, cons_nm1, bc_aux = (self.prims, self.cons_n,
+                                           self.cons_nm1, self.bc_aux)
+        total_dof = self.case.total_cells * self.phys.neq
+        nn = 0
+        while nn < iterations:
+            n = min(chunk, iterations - nn)
+            cfls = np.asarray([deck.cfl(nn + s) for s in range(n)],
+                              dtype=self.case.dtype)
+            t0 = time.perf_counter()
+            prims, cons_n, cons_nm1, bc_aux, ys = self._run_chunk(
+                prims, cons_n, cons_nm1, bc_aux, jnp.asarray(cfls))
+            jax.block_until_ready(prims[self.case.blocks[0].index])
+            self._log_chunk_outputs(nn + self.iteration_start, cfls, ys,
+                                    time.perf_counter() - t0, sim_start,
+                                    total_dof)
+            nn += n
+        self.prims, self.cons_n = prims, cons_n
+        self.cons_nm1, self.bc_aux = cons_nm1, bc_aux
+
     # -- main loop -----------------------------------------------------------
-    def run(self, iterations=None, write_files=False):
+    def run(self, iterations=None, write_files=False, chunk=16):
         deck = self.deck
         iterations = iterations or deck["iterations"]
         self._open_logs(restart=self.is_restart)
@@ -850,6 +944,15 @@ class Solver:
         if write_files:
             self.write_grid_center()
             self.write_output(self.iteration_start)
+
+        # chunked scan path: identical arithmetic, one dispatch per chunk.
+        # File-writing runs need the pre-update state for aux output and
+        # debug mode checks state every iteration -> per-step path.
+        if chunk and chunk > 1 and not write_files and not self.debug:
+            self._run_chunked(iterations, chunk)
+            self.resid_file.close()
+            self.time_file.close()
+            return self
 
         multilevel = self.cfg["multilevel_time"]
         total_dof = self.case.total_cells * self.phys.neq

@@ -62,8 +62,8 @@ def main():
                               "vs_baseline": 0.0}))
             return 1
 
-    # throughput: steady-state implicit iterations (4 LU-SGS sweeps each),
-    # residual norms computed on device every iteration as in production
+    # device-kernel throughput: steady-state implicit iterations (4 LU-SGS
+    # sweeps each), residual norms computed on device every iteration
     solver = Solver(deck, workdir=workdir)
     prims, cons_n, cons_nm1 = dict(solver.prims), solver.cons_n, \
         solver.cons_nm1
@@ -80,11 +80,36 @@ def main():
         p, l2, linfs, mr, _aux = solver._iterate(p, cons_n, cons_nm1, cfl, 0)
     jax.block_until_ready(p)
     dt = time.perf_counter() - t0
+    kernel_ips = TIMED / dt
 
-    ips = TIMED / dt
+    # production throughput: the full run() path — store_old_solution,
+    # residual decode + .resid/.tme logging, exactly what the reference's
+    # .tme timings include (logFileManager.cpp:37-43).  run() executes in
+    # device-side chunks of CHUNK steps; the first chunk carries the scan
+    # compile, so steady state = mean per-step .tme time from the second
+    # chunk on.
+    CHUNK = 24
+    prod = Solver(deck, workdir=workdir)
+    sys.stdout = sys.stderr
+    try:
+        prod.run(iterations=2 * CHUNK, write_files=False, chunk=CHUNK)
+    finally:
+        sys.stdout = real_stdout
+    with open(os.path.join(workdir, "rae2822.tme")) as f:
+        rows = [float(ln.split()[1]) for ln in f.readlines()[1:]]
+    prod_ips = 1.0 / (sum(rows[CHUNK:]) / len(rows[CHUNK:]))
+
+    # headline = production path (apples-to-apples with the reference's
+    # .tme-derived baseline); kernel-only number reported alongside
+    print(json.dumps({"metric": "rae2822_rans_kernel_iters_per_sec",
+                      "value": round(kernel_ips, 3), "unit": "iters/sec",
+                      "vs_baseline":
+                      round(kernel_ips / BASELINE_ITERS_PER_SEC, 2)}),
+          file=sys.stderr)
     print(json.dumps({"metric": "rae2822_rans_iters_per_sec",
-                      "value": round(ips, 3), "unit": "iters/sec",
-                      "vs_baseline": round(ips / BASELINE_ITERS_PER_SEC, 2)}))
+                      "value": round(prod_ips, 3), "unit": "iters/sec",
+                      "vs_baseline":
+                      round(prod_ips / BASELINE_ITERS_PER_SEC, 2)}))
     return 0
 
 
