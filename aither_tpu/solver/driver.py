@@ -278,26 +278,39 @@ class Solver:
             return if_skew, it_skew
 
         if solver in ("lusgs", "blusgs"):
+            # batch same-shape blocks through ONE wavefront sweep (k-axis
+            # stacking, implicit.lusgs_*_group): B x fewer sequential
+            # hyperplane steps and one traced sweep body per shape
+            groups = self._sweep_groups(lvl)
+
+            def sweep_items(grp):
+                out = []
+                for b in grp:
+                    ctx = self.mg_ictx[lvl][b.index]
+                    if_skew, it_skew = inv_skews(b)
+                    out.append(dict(
+                        block=b, ctx=ctx, prim=prims[b.index],
+                        du=dus[b.index],
+                        b=imp.skew_from_physical(ctx, bs_eff[b.index]),
+                        inv_f=if_skew, inv_t=it_skew, aux=auxs[b.index]))
+                return out
+
             for sweep in range(sweeps):
                 dus = self._swap_level(lvl, dus)
                 with_extra = sweep > 0 or cfg["matrix_init"] or lvl > 0
-                for b in case.blocks:
-                    ctx = self.mg_ictx[lvl][b.index]
-                    b_skew = imp.skew_from_physical(ctx, bs_eff[b.index])
-                    if_skew, it_skew = inv_skews(b)
-                    dus[b.index] = imp.lusgs_forward(
-                        phys, cfg, b, ctx, prims[b.index], dus[b.index],
-                        b_skew, if_skew, it_skew, with_extra,
-                        aux=auxs[b.index])
+                for grp in groups:
+                    res = imp.lusgs_forward_group(phys, cfg,
+                                                  sweep_items(grp),
+                                                  with_extra)
+                    for b, du in zip(grp, res):
+                        dus[b.index] = du
                 dus = self._swap_level(lvl, dus)
-                for b in case.blocks:
-                    ctx = self.mg_ictx[lvl][b.index]
-                    b_skew = imp.skew_from_physical(ctx, bs_eff[b.index])
-                    if_skew, it_skew = inv_skews(b)
-                    dus[b.index] = imp.lusgs_backward(
-                        phys, cfg, b, ctx, prims[b.index], dus[b.index],
-                        b_skew, if_skew, it_skew, with_extra,
-                        aux=auxs[b.index])
+                for grp in groups:
+                    res = imp.lusgs_backward_group(phys, cfg,
+                                                   sweep_items(grp),
+                                                   with_extra)
+                    for b, du in zip(grp, res):
+                        dus[b.index] = du
         elif solver in ("dplur", "bdplur"):
             for sweep in range(sweeps):
                 dus = self._swap_level(lvl, dus)
@@ -311,6 +324,19 @@ class Solver:
             raise ValueError(f"unknown matrix solver {solver!r}")
         st["dus"] = self._swap_level(lvl, dus)
         return st
+
+    def _sweep_groups(self, lvl):
+        """Same-shape block groups for batched LU-SGS sweeps (stable
+        order; blocks with a unique shape form singleton groups)."""
+        cache = getattr(self, "_sweep_group_cache", None)
+        if cache is None:
+            cache = self._sweep_group_cache = {}
+        if lvl not in cache:
+            by_shape = {}
+            for b in self.mg_cases[lvl].blocks:
+                by_shape.setdefault((b.ni, b.nj, b.nk, b.g), []).append(b)
+            cache[lvl] = list(by_shape.values())
+        return cache[lvl]
 
     def _matrix_resid_field(self, lvl, st):
         """f - (A x - b) per block (reference: linearSolver::Residual)."""

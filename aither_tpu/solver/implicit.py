@@ -623,21 +623,88 @@ def _plane_shift_up(plane, d: str):
     return jnp.roll(plane, -1, axis=axis)
 
 
+# ---------------------------------------------------------------------------
+# same-shape block stacking along the k axis.
+#
+# Every skewed sweep array carries the plane layout (..., P, J2, K2); the
+# k axis is pure data parallelism for the wavefront recurrence, so B
+# same-shape blocks concatenate along it and sweep as ONE scan / pallas
+# call (B x fewer sequential plane steps than per-block sweeps — the
+# planes are tiny and latency-bound).  Safety of the circular in-plane
+# k-shift at the strip boundaries: the only wrapped reads land in rim
+# slots (k=0 / k=K2-1), whose computed values are always discarded by the
+# `valid` mask (plane = where(valid, xnew, init)), and every in-range
+# slot reads k +/- 1 within its own strip.  (VERDICT round-1 item #9.)
+
+
+def _cat_k(parts, blk_mat=False):
+    """Concatenate per-block skewed arrays along the K2 axis; None and
+    python scalars pass through (must then be identical across blocks)."""
+    if len(parts) == 1 or parts[0] is None or not hasattr(parts[0], "ndim"):
+        return parts[0]
+    ax = parts[0].ndim - (3 if blk_mat else 1)
+    return jnp.concatenate(parts, axis=ax)
+
+
+def _cat_nbr(lows):
+    """Stack _skewed_neighbor_inputs dicts along K2."""
+    if len(lows) == 1:
+        return lows[0]
+    out = {}
+    for d in "ijk":
+        ent = {}
+        for key in lows[0][d]:
+            vals = [lo[d][key] for lo in lows]
+            if key == "vgrad" and vals[0] is not None:
+                ent[key] = jnp.concatenate(vals, axis=-1)
+            else:
+                ent[key] = _cat_k(vals)
+        out[d] = ent
+    return out
+
+
+def _split_k(planes, k2, n):
+    """(neq, P, J2, n*K2) -> n arrays (neq, P, J2, K2)."""
+    if n == 1:
+        return [planes]
+    return [planes[..., b * k2:(b + 1) * k2] for b in range(n)]
+
+
 def lusgs_forward(phys: Physics, cfg, block, ctx, prim, du_padded, b_skew,
                   inv_flow_skew, inv_turb_skew, with_upper: bool, aux=None):
-    """Forward LUSGS sweep as a scan over hyperplanes
+    """Forward LUSGS sweep for one block (single-item group)."""
+    item = dict(block=block, ctx=ctx, prim=prim, du=du_padded, b=b_skew,
+                inv_f=inv_flow_skew, inv_t=inv_turb_skew, aux=aux)
+    return lusgs_forward_group(phys, cfg, [item], with_upper)[0]
+
+
+def lusgs_forward_group(phys: Physics, cfg, items, with_upper: bool):
+    """Forward LUSGS sweep as a scan over hyperplanes, batched over a
+    group of same-shape blocks stacked along the k axis
     (reference: linearSolver.cpp:341-383)."""
-    du_skew = skew(ctx, du_padded)
-    valid = jnp.asarray(ctx.skew_valid)
+    ctx0 = items[0]["ctx"]
+    K2 = ctx0.skew_valid.shape[-1]
+    du_skews, lows, U_terms, valids = [], [], [], []
+    for it in items:
+        ctx, block = it["ctx"], it["block"]
+        du_skews.append(skew(ctx, it["du"]))
+        lows.append(_skewed_neighbor_inputs(phys, cfg, block, ctx,
+                                            it["prim"], "lower", it["aux"]))
+        if with_upper:
+            U_full = offdiag_sum(phys, cfg, block, ctx, it["prim"], it["du"],
+                                 "upper", it["aux"])
+            U_terms.append(skew_from_physical(ctx, U_full))
+        valids.append(jnp.asarray(ctx.skew_valid))
+    du_skew = _cat_k(du_skews)
+    low = _cat_nbr(lows)
+    U_term = _cat_k(U_terms) if with_upper else 0.0
+    valid = _cat_k(valids)
+    blk = cfg.get("block_matrix", False)
+    b_skew = _cat_k([it["b"] for it in items])
+    inv_flow_skew = _cat_k([it["inv_f"] for it in items], blk_mat=blk)
+    inv_turb_skew = _cat_k([it["inv_t"] for it in items], blk_mat=blk)
 
-    low = _skewed_neighbor_inputs(phys, cfg, block, ctx, prim, "lower", aux)
-    U_term = 0.0
-    if with_upper:
-        U_full = offdiag_sum(phys, cfg, block, ctx, prim, du_padded, "upper",
-                             aux)
-        U_term = skew_from_physical(ctx, U_full)
-
-    P = ctx.nplanes
+    P = ctx0.nplanes
 
     def body(carry, t):
         prev = carry  # previous plane (neq, J2, K2), already updated
@@ -679,40 +746,64 @@ def lusgs_forward(phys: Physics, cfg, block, ctx, prim, du_padded, b_skew,
 
     carry0 = du_skew[:, 0]
     from . import pallas_sweep as ps
-    if ps.use_pallas(cfg, du_padded.dtype, phys.ns):
+    if ps.use_pallas(cfg, du_skew.dtype, phys.ns):
         packed, offs = ps.pack_sweep_inputs(
             phys, cfg, low, b_skew, U_term if with_upper else None, du_skew,
-            valid, inv_flow_skew, inv_turb_skew, du_padded.dtype)
+            valid, inv_flow_skew, inv_turb_skew, du_skew.dtype)
         planes = ps.sweep(phys, cfg, packed, offs, carry0, forward=True,
                           with_extra=with_upper)
     else:
         # unroll amortizes the TPU while-loop per-step overhead over
         # several hyperplanes (the planes are tiny; dispatch dominates)
         _, planes = jax.lax.scan(body, carry0, jnp.arange(1, P), unroll=8)
-    # planes: (P-1, neq, J2, K2); prepend plane 0
+    # planes: (P-1, neq, J2, B*K2); prepend plane 0
     all_planes = jnp.concatenate([du_skew[:, :1],
                                   jnp.moveaxis(planes, 0, 1)], axis=1)
-    x = unskew(ctx, all_planes)
-    g = block.g
-    Psl = (slice(None), slice(g, g + block.ni), slice(g, g + block.nj),
-           slice(g, g + block.nk))
-    return set_region(du_padded, Psl, x)
+    outs = []
+    for it, pl_b in zip(items, _split_k(all_planes, K2, len(items))):
+        block, ctx = it["block"], it["ctx"]
+        x = unskew(ctx, pl_b)
+        g = block.g
+        Psl = (slice(None), slice(g, g + block.ni), slice(g, g + block.nj),
+               slice(g, g + block.nk))
+        outs.append(set_region(it["du"], Psl, x))
+    return outs
 
 
 def lusgs_backward(phys: Physics, cfg, block, ctx, prim, du_padded, b_skew,
                    inv_flow_skew, inv_turb_skew, with_lower: bool, aux=None):
-    """Backward LUSGS sweep (reference: linearSolver.cpp:385-428)."""
-    du_skew = skew(ctx, du_padded)
-    valid = jnp.asarray(ctx.skew_valid)
+    """Backward LUSGS sweep for one block (single-item group)."""
+    item = dict(block=block, ctx=ctx, prim=prim, du=du_padded, b=b_skew,
+                inv_f=inv_flow_skew, inv_t=inv_turb_skew, aux=aux)
+    return lusgs_backward_group(phys, cfg, [item], with_lower)[0]
 
-    upp = _skewed_neighbor_inputs(phys, cfg, block, ctx, prim, "upper", aux)
-    L_term = None
-    if with_lower:
-        L_full = offdiag_sum(phys, cfg, block, ctx, prim, du_padded, "lower",
-                             aux)
-        L_term = skew_from_physical(ctx, L_full)
 
-    P = ctx.nplanes
+def lusgs_backward_group(phys: Physics, cfg, items, with_lower: bool):
+    """Backward LUSGS sweep, batched over a group of same-shape blocks
+    stacked along the k axis (reference: linearSolver.cpp:385-428)."""
+    ctx0 = items[0]["ctx"]
+    K2 = ctx0.skew_valid.shape[-1]
+    du_skews, upps, L_terms, valids = [], [], [], []
+    for it in items:
+        ctx, block = it["ctx"], it["block"]
+        du_skews.append(skew(ctx, it["du"]))
+        upps.append(_skewed_neighbor_inputs(phys, cfg, block, ctx,
+                                            it["prim"], "upper", it["aux"]))
+        if with_lower:
+            L_full = offdiag_sum(phys, cfg, block, ctx, it["prim"], it["du"],
+                                 "lower", it["aux"])
+            L_terms.append(skew_from_physical(ctx, L_full))
+        valids.append(jnp.asarray(ctx.skew_valid))
+    du_skew = _cat_k(du_skews)
+    upp = _cat_nbr(upps)
+    L_term = _cat_k(L_terms) if with_lower else None
+    valid = _cat_k(valids)
+    blk = cfg.get("block_matrix", False)
+    b_skew = _cat_k([it["b"] for it in items])
+    inv_flow_skew = _cat_k([it["inv_f"] for it in items], blk_mat=blk)
+    inv_turb_skew = _cat_k([it["inv_t"] for it in items], blk_mat=blk)
+
+    P = ctx0.nplanes
 
     def body(carry, t):
         nxt = carry  # next plane (t+1), already updated
@@ -755,11 +846,11 @@ def lusgs_backward(phys: Physics, cfg, block, ctx, prim, du_padded, b_skew,
 
     carry0 = du_skew[:, P - 1]
     from . import pallas_sweep as ps
-    if ps.use_pallas(cfg, du_padded.dtype, phys.ns):
+    if ps.use_pallas(cfg, du_skew.dtype, phys.ns):
         packed, offs = ps.pack_sweep_inputs(
             phys, cfg, upp, b_skew if with_lower else None,
             L_term if with_lower else None, du_skew, valid, inv_flow_skew,
-            inv_turb_skew, du_padded.dtype)
+            inv_turb_skew, du_skew.dtype)
         planes_nat = ps.sweep(phys, cfg, packed, offs, carry0, forward=False,
                               with_extra=with_lower)
         all_planes = jnp.concatenate(
@@ -769,11 +860,15 @@ def lusgs_backward(phys: Physics, cfg, block, ctx, prim, du_padded, b_skew,
                                  unroll=8)
         all_planes = jnp.concatenate(
             [jnp.moveaxis(planes, 0, 1)[:, ::-1], du_skew[:, P - 1:]], axis=1)
-    x = unskew(ctx, all_planes)
-    g = block.g
-    Psl = (slice(None), slice(g, g + block.ni), slice(g, g + block.nj),
-           slice(g, g + block.nk))
-    return set_region(du_padded, Psl, x)
+    outs = []
+    for it, pl_b in zip(items, _split_k(all_planes, K2, len(items))):
+        block, ctx = it["block"], it["ctx"]
+        x = unskew(ctx, pl_b)
+        g = block.g
+        Psl = (slice(None), slice(g, g + block.ni), slice(g, g + block.nj),
+               slice(g, g + block.nk))
+        outs.append(set_region(it["du"], Psl, x))
+    return outs
 
 
 def skew_scalar(ctx, arr_padded):
