@@ -522,3 +522,42 @@ def decompose(grids, bcs, nproc, method="cubic"):
     else:
         decomp = cubic_decomposition(grids, bcs, nproc)
     return grids, bcs, decomp
+
+
+# ---------------------------------------------------------------------------
+# cell-array recombination / re-splitting across the decomposition
+# (reference: output.cpp:1089-1166 Recombine undoes splits for output;
+# parallel.hpp:137-154 DecompArray re-applies them when reading restarts)
+
+
+def join_cell_arrays(splits, arrs, axes=(1, 2, 3)):
+    """Undo ``splits`` on per-block cell arrays: concatenation of each
+    (lower, upper) pair along the split direction, processed in reverse
+    split order (the upper half of the most recent split is always the
+    highest live index).  ``axes`` maps (i, j, k) to array axes."""
+    ax_of = dict(zip("ijk", axes))
+    arrs = list(arrs)
+    for lo, up, d, ind in reversed(splits):
+        assert up == len(arrs) - 1, "split order violated"
+        arrs[lo] = np.concatenate([arrs[lo], arrs[up]], axis=ax_of[d])
+        arrs.pop()
+    return arrs
+
+
+def split_cell_arrays(splits, arrs, axes=(1, 2, 3)):
+    """Re-apply ``splits`` to parent-structure cell arrays, reproducing
+    the decomposed block ordering (lower keeps cells [0, ind), upper gets
+    the rest, appended at the end exactly as _split_block did)."""
+    ax_of = dict(zip("ijk", axes))
+    arrs = list(arrs)
+    for lo, up, d, ind in splits:
+        ax = ax_of[d]
+        nd = arrs[lo].ndim
+        sl_lo = [slice(None)] * nd
+        sl_lo[ax] = slice(0, ind)
+        sl_up = [slice(None)] * nd
+        sl_up[ax] = slice(ind, None)
+        assert up == len(arrs)
+        arrs.append(np.ascontiguousarray(arrs[lo][tuple(sl_up)]))
+        arrs[lo] = np.ascontiguousarray(arrs[lo][tuple(sl_lo)])
+    return arrs

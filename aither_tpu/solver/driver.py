@@ -31,6 +31,8 @@ class Solver:
         if debug is None:
             debug = os.environ.get("AITHER_DEBUG", "0") not in ("0", "")
         self.debug = bool(debug)
+        self._deck_path = deck_path
+        self._dtype_arg = dtype
         self.case = build_case(deck_path, dtype=dtype, nproc=nproc)
         self.deck = self.case.deck
         self.phys = self.case.phys
@@ -521,6 +523,16 @@ class Solver:
         rec = read_restart(path)
         self.iteration_start = rec["iteration"]
         self.l2_first = np.asarray(rec["l2_first"]).copy()
+        decomp = getattr(self.case, "decomp", None)
+        if decomp is not None and decomp.splits:
+            # restart files carry the ORIGINAL block structure; re-apply
+            # the decomposition's splits (reference: parallel.hpp:137-154
+            # DecompArray on ReadRestart)
+            from ..parallel.decompose import split_cell_arrays
+            rec["blocks"] = split_cell_arrays(decomp.splits, rec["blocks"])
+            if rec["blocks_nm1"] is not None:
+                rec["blocks_nm1"] = split_cell_arrays(decomp.splits,
+                                                      rec["blocks_nm1"])
         for b in self.case.blocks:
             prim = prim_from_restart(rec["blocks"][b.index], self.phys,
                                      self.deck, mu_ref=self.phys.mu_mix_ref)
@@ -535,7 +547,74 @@ class Solver:
         else:
             self._restart_nm1 = None
 
+    def _sync_output_view(self):
+        """For decomposed runs, push the current state (recombined into
+        the ORIGINAL block structure) onto a parent-layout Solver so all
+        file output matches the reference's Recombine semantics
+        (reference: output.cpp:595,1089-1166; restart bit-compat across
+        proc counts depends on this).  Returns self when not decomposed."""
+        decomp = getattr(self.case, "decomp", None)
+        if decomp is None or not decomp.splits:
+            return self
+        from ..parallel.decompose import join_cell_arrays
+        if getattr(self, "_parent_view", None) is None:
+            self._parent_view = Solver(self._deck_path, dtype=self._dtype_arg,
+                                       workdir=self.workdir, nproc=1,
+                                       debug=False)
+        view = self._parent_view
+        splits = decomp.splits
+        g = self.case.blocks[0].g
+
+        def interior(arr, b):
+            return np.asarray(arr)[..., g:g + b.ni, g:g + b.nj, g:g + b.nk]
+
+        def joined(fn, axes=(1, 2, 3)):
+            return join_cell_arrays(
+                splits, [np.asarray(fn(b)) for b in self.case.blocks], axes)
+
+        prim_j = joined(lambda b: interior(self.prims[b.index], b))
+        prev = getattr(self, "_prev_prims", None) or self.prims
+        prev_j = joined(lambda b: interior(prev[b.index], b))
+        consn_j = joined(lambda b: self.cons_n[b.index])
+        multilevel = self.cfg["multilevel_time"]
+        nm1_j = (joined(lambda b: self.cons_nm1[b.index])
+                 if multilevel else None)
+        dt_j = joined(lambda b: self.bc_aux[b.index]["dt"], axes=(0, 1, 2))
+        pg_j = joined(lambda b: self.bc_aux[b.index]["pgrad"])
+        vg_j = joined(lambda b: self.bc_aux[b.index]["vgrad"],
+                      axes=(2, 3, 4))
+
+        dt_ = view.case.dtype
+        prev_pads = {}
+        for i, vb in enumerate(view.case.blocks):
+            P = (slice(None), slice(g, g + vb.ni), slice(g, g + vb.nj),
+                 slice(g, g + vb.nk))
+            view.prims[vb.index] = view.prims[vb.index].at[P].set(
+                jnp.asarray(prim_j[i], dt_))
+            prev_pads[vb.index] = jnp.asarray(view.prims[vb.index]).at[P].set(
+                jnp.asarray(prev_j[i], dt_))
+            view.cons_n[vb.index] = jnp.asarray(consn_j[i], dt_)
+            if multilevel:
+                view.cons_nm1[vb.index] = jnp.asarray(nm1_j[i], dt_)
+            view.bc_aux[vb.index] = dict(
+                dt=jnp.asarray(dt_j[i], dt_),
+                pgrad=jnp.asarray(pg_j[i], dt_),
+                vgrad=jnp.asarray(vg_j[i], dt_))
+        # refresh ghosts: the BC pass is a pure function of interior state
+        # (+ bc_aux / cons_n), so this reproduces the last iteration's
+        # ghost values in the parent layout
+        view.prims = step_mod.apply_all_bcs(view.phys, view.case,
+                                            view.prims, bc_aux=view.bc_aux,
+                                            cons_n=view.cons_n)
+        view._prev_prims = prev_pads
+        view.l2_first = self.l2_first
+        view.iteration_start = self.iteration_start
+        return view
+
     def write_restart(self, iteration):
+        view = self._sync_output_view()
+        if view is not self:
+            return view.write_restart(iteration)
         from ..io.restart import write_restart
         prims = [np.asarray(self._interior(self.prims[b.index], b))
                  for b in self.case.blocks]
@@ -550,6 +629,9 @@ class Solver:
                       cons_nm1, mu_ref=self.phys.mu_mix_ref)
 
     def write_output(self, iteration):
+        view = self._sync_output_view()
+        if view is not self:
+            return view.write_output(iteration)
         from ..io import output as out_mod
         deck = self.deck
         phys = self.phys
@@ -742,6 +824,9 @@ class Solver:
         return np.moveaxis(out, 0, -1)
 
     def write_grid_center(self):
+        view = self._sync_output_view()
+        if view is not self:
+            return view.write_grid_center()
         from ..io import output as out_mod
         centers = []
         for b in self.case.blocks:
