@@ -29,6 +29,40 @@ WARMUP = 4
 TIMED = 30
 
 
+def _extruded_case(nk=48):
+    """rae2822 extruded in k to ``nk`` cells: same airfoil C-grid and BC
+    topology, slipWall k-faces, ~1.13M cells of SST RANS."""
+    import numpy as np
+    from aither_tpu.io.plot3d import read_p3d, write_p3d
+    from aither_tpu.solver.driver import Solver
+
+    workdir = tempfile.mkdtemp(prefix="aither_bench3d_")
+    nodes = read_p3d(os.path.join(REF_CASE, "rae2822.xyz"), 1.0)[0]
+    ni, njn, _, _ = nodes.shape
+    dz = abs(nodes[0, 0, 1, 2] - nodes[0, 0, 0, 2])
+    big = np.repeat(nodes[:, :, :1], nk + 1, axis=2).copy()
+    big[..., 2] = dz * np.arange(nk + 1)[None, None, :]
+    write_p3d(os.path.join(workdir, "rae2822.xyz"), [big])
+
+    out = []
+    with open(os.path.join(REF_CASE, "rae2822.inp")) as f:
+        for line in f:
+            toks = line.split()
+            if len(toks) == 8 and toks[0][0].isalpha() and \
+                    toks[1].lstrip("-").isdigit():
+                kmin, kmax = int(toks[5]), int(toks[6])
+                if (kmin, kmax) == (0, 1):
+                    toks[6] = str(nk)
+                elif (kmin, kmax) == (1, 1):
+                    toks[5] = toks[6] = str(nk)
+                line = "  " + "  ".join(toks) + "\n"
+            out.append(line)
+    deck = os.path.join(workdir, "rae2822.inp")
+    with open(deck, "w") as f:
+        f.writelines(out)
+    return Solver(deck, workdir=workdir)
+
+
 def main():
     import jax
 
@@ -98,6 +132,52 @@ def main():
     with open(os.path.join(workdir, "rae2822.tme")) as f:
         rows = [float(ln.split()[1]) for ln in f.readlines()[1:]]
     prod_ips = 1.0 / (sum(rows[CHUNK:]) / len(rows[CHUNK:]))
+
+    # scaling case: the rae2822 C-grid extruded to 48 k-cells (~1.13M
+    # cells, full SST RANS + LU-SGS) so the throughput number reflects
+    # sustained bandwidth, not dispatch latency (round-1 verdict: the
+    # 23k-cell case leaves the chip mostly idle).  Reported to stderr;
+    # the headline stays the reference-comparable 2-D case.
+    # NOTE: this environment compiles through an HTTP tunnel with a
+    # request-size cap; geometry closures inline into the payload, so we
+    # fall back to smaller extrusions until one compiles.  On a real TPU
+    # host (local compile) the 48-cell extrusion is the intended size.
+    for _nk in (48, 24, 12, 6):
+        try:
+            big = _extruded_case(nk=_nk)
+            bp, bcn, bcm = dict(big.prims), big.cons_n, big.cons_nm1
+            bcfl = big.deck.cfl(0)
+            ob = big._iterate(bp, bcn, bcm, bcfl, 0)
+            jax.block_until_ready(ob[0])
+            break
+        except Exception as e:
+            print(f"3D scaling case nk={_nk} failed: {e!r}"[:200],
+                  file=sys.stderr)
+            big = None
+    try:
+        if big is None:
+            raise RuntimeError("no extrusion size compiled")
+        for _ in range(2):
+            ob = big._iterate(ob[0], bcn, bcm, bcfl, 0)
+        jax.block_until_ready(ob[0])
+        pb = ob[0]
+        t0 = time.perf_counter()
+        NB = 10
+        for _ in range(NB):
+            pb, bl2, *_ = big._iterate(pb, bcn, bcm, bcfl, 0)
+        jax.block_until_ready(pb)
+        bdt = time.perf_counter() - t0
+        import numpy as _np
+        assert _np.all(_np.isfinite(_np.asarray(bl2)))
+        cells = big.case.total_cells
+        ips = NB / bdt
+        print(json.dumps({
+            "metric": "rae2822_3d_rans_Mcell_iters_per_sec",
+            "value": round(ips * cells / 1e6, 2), "unit": "Mcell-iters/sec",
+            "cells": cells, "iters_per_sec": round(ips, 3)}),
+            file=sys.stderr)
+    except Exception as e:  # scaling case must never break the headline
+        print(f"3D scaling case failed: {e!r}", file=sys.stderr)
 
     # headline = production path (apples-to-apples with the reference's
     # .tme-derived baseline); kernel-only number reported alongside
