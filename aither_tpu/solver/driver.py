@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 import time
+from contextlib import contextmanager
 
 import jax
 import jax.numpy as jnp
@@ -89,7 +90,15 @@ class Solver:
                 {b.index: imp.build_implicit_context(b) for b in c.blocks}
                 for c in self.mg_cases]
             self.ictx = self.mg_ictx[0]
-        self._iterate = jax.jit(self._iteration, static_argnames=("stage",))
+        self._geo_args = self._build_geo_args()
+        self._iterate_geo = jax.jit(self._iteration_with_geo,
+                                    static_argnames=("stage",))
+
+        def _iterate(prims, cons_n, cons_nm1, cfl, stage, bc_aux=None):
+            return self._iterate_geo(self._geo_args, prims, cons_n,
+                                     cons_nm1, cfl, stage=stage,
+                                     bc_aux=bc_aux)
+        self._iterate = _iterate
         self.bc_aux = self._zero_bc_aux()
         self.cons_n = self.store_old_solution()
         self.cons_nm1 = (dict(self.cons_n) if deck.is_multilevel_in_time
@@ -100,6 +109,64 @@ class Solver:
                 self.cons_nm1[b.index] = jnp.asarray(cons_from_restart(
                     self._restart_nm1[b.index], self.phys, self.deck,
                     mu_ref=self.phys.mu_mix_ref), self.case.dtype)
+
+    # -- geometry as jit arguments -------------------------------------------
+    # Block geometry and the implicit contexts' static skewed face arrays
+    # are per-case tensors of up to hundreds of MB on large grids; closed
+    # over, XLA inlines them as constants into EVERY executable (and this
+    # environment ships them with each remote compile).  They are instead
+    # passed as jit arguments: the traced entry points temporarily bind
+    # the argument pytrees onto the blocks/contexts for the trace.
+
+    def _build_geo_args(self):
+        geoms = [{b.index: b.geom for b in c.blocks}
+                 for c in self.mg_cases]
+        statics = None
+        if self.deck.is_implicit and \
+                self.cfg["matrix_solver"] in ("lusgs", "blusgs"):
+            statics = []
+            for lvl, c in enumerate(self.mg_cases):
+                d = {}
+                for b in c.blocks:
+                    ctx = self.mg_ictx[lvl][b.index]
+                    for side in ("lower", "upper"):
+                        imp._static_neighbor_geom(
+                            ctx, b, side, self.cfg["viscous"],
+                            self.case.dtype)
+                    # device-resident leaves: numpy here would re-upload
+                    # the whole pytree on every call
+                    d[b.index] = jax.tree_util.tree_map(jnp.asarray,
+                                                        ctx._static_nbr)
+                    ctx._static_nbr = d[b.index]
+                statics.append(d)
+        return (geoms, statics)
+
+    @contextmanager
+    def _bound_geometry(self, geo_args):
+        geoms, statics = geo_args
+        saved_g, saved_s = [], []
+        for lvl, case in enumerate(self.mg_cases):
+            for b in case.blocks:
+                saved_g.append((b, b.geom))
+                b.geom = geoms[lvl][b.index]
+        if statics is not None:
+            for lvl in range(len(self.mg_cases)):
+                for bi, ctx in self.mg_ictx[lvl].items():
+                    saved_s.append((ctx, ctx._static_nbr))
+                    ctx._static_nbr = statics[lvl][bi]
+        try:
+            yield
+        finally:
+            for b, gm in saved_g:
+                b.geom = gm
+            for ctx, st_ in saved_s:
+                ctx._static_nbr = st_
+
+    def _iteration_with_geo(self, geo_args, prims, cons_n, cons_nm1, cfl,
+                            stage: int, bc_aux=None):
+        with self._bound_geometry(geo_args):
+            return self._iteration(prims, cons_n, cons_nm1, cfl, stage,
+                                   bc_aux=bc_aux)
 
     def _zero_bc_aux(self):
         out = {}
@@ -980,10 +1047,12 @@ class Solver:
         """Scan ``len(cfls)`` full time steps in one dispatch.  Returns the
         final (prims, cons_n, cons_nm1, bc_aux) and the per-step outputs."""
         if not hasattr(self, "_chunk_jit"):
-            def scan_steps(carry, cfls):
-                return jax.lax.scan(self._chunk_body, carry, cfls)
+            def scan_steps(geo_args, carry, cfls):
+                with self._bound_geometry(geo_args):
+                    return jax.lax.scan(self._chunk_body, carry, cfls)
             self._chunk_jit = jax.jit(scan_steps)
-        carry, ys = self._chunk_jit((prims, cons_n, cons_nm1, bc_aux), cfls)
+        carry, ys = self._chunk_jit(self._geo_args,
+                                    (prims, cons_n, cons_nm1, bc_aux), cfls)
         return carry + (ys,)
 
     def _log_chunk_outputs(self, nn0, cfls, ys, iter_time, sim_start,
