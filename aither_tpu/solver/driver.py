@@ -135,9 +135,15 @@ class Solver:
                             self.case.dtype)
                     # device-resident leaves: numpy here would re-upload
                     # the whole pytree on every call
-                    d[b.index] = jax.tree_util.tree_map(jnp.asarray,
-                                                        ctx._static_nbr)
-                    ctx._static_nbr = d[b.index]
+                    ctx._static_nbr = jax.tree_util.tree_map(
+                        jnp.asarray, ctx._static_nbr)
+                for grp in self._sweep_groups(lvl):
+                    ctxs = [self.mg_ictx[lvl][b.index] for b in grp]
+                    imp.prepack_group_static(self.cfg, grp, ctxs,
+                                             self.case.dtype)
+                for b in c.blocks:
+                    ctx = self.mg_ictx[lvl][b.index]
+                    d[b.index] = (ctx._static_nbr, ctx._static_packed)
                 statics.append(d)
         return (geoms, statics)
 
@@ -152,15 +158,17 @@ class Solver:
         if statics is not None:
             for lvl in range(len(self.mg_cases)):
                 for bi, ctx in self.mg_ictx[lvl].items():
-                    saved_s.append((ctx, ctx._static_nbr))
-                    ctx._static_nbr = statics[lvl][bi]
+                    saved_s.append((ctx, ctx._static_nbr,
+                                    ctx._static_packed))
+                    ctx._static_nbr, ctx._static_packed = statics[lvl][bi]
         try:
             yield
         finally:
             for b, gm in saved_g:
                 b.geom = gm
-            for ctx, st_ in saved_s:
-                ctx._static_nbr = st_
+            for ctx, nbr_, pk_ in saved_s:
+                ctx._static_nbr = nbr_
+                ctx._static_packed = pk_
 
     def _iteration_with_geo(self, geo_args, prims, cons_n, cons_nm1, cfl,
                             stage: int, bc_aux=None):

@@ -150,6 +150,11 @@ class ImplicitContext:
     block: object = None
     # lazily built static skewed face geometry per sweep side
     _static_nbr: dict = dataclasses.field(default_factory=dict)
+    # prepacked static pallas-sweep operands (group-lead contexts only);
+    # offsets live in _static_offs (python ints — trace structure, never
+    # passed through jit)
+    _static_packed: dict = dataclasses.field(default_factory=dict)
+    _static_offs: dict = dataclasses.field(default_factory=dict)
 
 
 def _connection_face_mask(block, d: str, lower: bool):
@@ -670,6 +675,43 @@ def _split_k(planes, k2, n):
     return [planes[..., b * k2:(b + 1) * k2] for b in range(n)]
 
 
+def _group_key(cfg, items, side, dtype):
+    return (side, bool(cfg.get("viscous", False)), np.dtype(dtype).name,
+            tuple(it["block"].index for it in items))
+
+
+def prepack_group_static(cfg, blocks, ctxs, dtype):
+    """Build + cache the packed static pallas-sweep operand for a
+    same-shape block group.  Runs at init with concrete device arrays so
+    the per-call path never relayouts geometry (the packed array is then
+    bound as a jit argument by the driver)."""
+    from . import pallas_sweep as ps
+    viscous = bool(cfg.get("viscous", False))
+    ctx0 = ctxs[0]
+    valid = _cat_k([jnp.asarray(c.skew_valid) for c in ctxs])
+    for side in ("lower", "upper"):
+        statics = [_static_neighbor_geom(c, b, side, viscous, dtype)
+                   for c, b in zip(ctxs, blocks)]
+        nbr = {d: {k2: _cat_k([s[d][k2] for s in statics])
+                   for k2 in statics[0][d]} for d in "ijk"}
+        key = (side, viscous, np.dtype(dtype).name,
+               tuple(b.index for b in blocks))
+        packed, offs = ps.pack_static_sweep(cfg, nbr, valid, dtype)
+        ctx0._static_packed[key] = packed
+        ctx0._static_offs[key] = offs
+
+
+def _group_static_packed(cfg, items, side, nbr_stacked, valid, dtype):
+    """Prepacked static operand if the driver prepared one; otherwise
+    pack inline (constants fold when geometry is closed over)."""
+    from . import pallas_sweep as ps
+    ctx0 = items[0]["ctx"]
+    key = _group_key(cfg, items, side, dtype)
+    if key in ctx0._static_offs:
+        return ctx0._static_packed[key], ctx0._static_offs[key]
+    return ps.pack_static_sweep(cfg, nbr_stacked, valid, dtype)
+
+
 def lusgs_forward(phys: Physics, cfg, block, ctx, prim, du_padded, b_skew,
                   inv_flow_skew, inv_turb_skew, with_upper: bool, aux=None):
     """Forward LUSGS sweep for one block (single-item group)."""
@@ -747,11 +789,13 @@ def lusgs_forward_group(phys: Physics, cfg, items, with_upper: bool):
     carry0 = du_skew[:, 0]
     from . import pallas_sweep as ps
     if ps.use_pallas(cfg, du_skew.dtype, phys.ns):
-        packed, offs = ps.pack_sweep_inputs(
+        packed_s, offs_s = _group_static_packed(cfg, items, "lower", low,
+                                                valid, du_skew.dtype)
+        packed_d, offs_d = ps.pack_dynamic_sweep(
             phys, cfg, low, b_skew, U_term if with_upper else None, du_skew,
-            valid, inv_flow_skew, inv_turb_skew, du_skew.dtype)
-        planes = ps.sweep(phys, cfg, packed, offs, carry0, forward=True,
-                          with_extra=with_upper)
+            inv_flow_skew, inv_turb_skew, du_skew.dtype)
+        planes = ps.sweep(phys, cfg, packed_s, offs_s, packed_d, offs_d,
+                          carry0, forward=True, with_extra=with_upper)
     else:
         # unroll amortizes the TPU while-loop per-step overhead over
         # several hyperplanes (the planes are tiny; dispatch dominates)
@@ -847,12 +891,14 @@ def lusgs_backward_group(phys: Physics, cfg, items, with_lower: bool):
     carry0 = du_skew[:, P - 1]
     from . import pallas_sweep as ps
     if ps.use_pallas(cfg, du_skew.dtype, phys.ns):
-        packed, offs = ps.pack_sweep_inputs(
+        packed_s, offs_s = _group_static_packed(cfg, items, "upper", upp,
+                                                valid, du_skew.dtype)
+        packed_d, offs_d = ps.pack_dynamic_sweep(
             phys, cfg, upp, b_skew if with_lower else None,
-            L_term if with_lower else None, du_skew, valid, inv_flow_skew,
+            L_term if with_lower else None, du_skew, inv_flow_skew,
             inv_turb_skew, du_skew.dtype)
-        planes_nat = ps.sweep(phys, cfg, packed, offs, carry0, forward=False,
-                              with_extra=with_lower)
+        planes_nat = ps.sweep(phys, cfg, packed_s, offs_s, packed_d, offs_d,
+                              carry0, forward=False, with_extra=with_lower)
         all_planes = jnp.concatenate(
             [jnp.moveaxis(planes_nat, 0, 1), du_skew[:, P - 1:]], axis=1)
     else:

@@ -33,19 +33,45 @@ def _norm_plane(arr, kind):
     raise ValueError(kind)
 
 
-def pack_sweep_inputs(phys, cfg, nbr, b_skew, extra_term, du_skew, valid,
-                      inv_flow_skew, inv_turb_skew, dtype):
-    """Concatenate every plane-indexed sweep input into one
-    (P, C, J2, K2) array + a name->(offset, len) map."""
+def _pack(fields, dtype):
+    """fields: name -> (array, kind); returns ((P, C, J2, K2), offs)."""
+    parts, offs = [], {}
+    c = 0
+    for name, (arr, kind) in fields.items():
+        a = _norm_plane(jnp.asarray(arr).astype(dtype), kind)
+        offs[name] = (c, a.shape[1])
+        c += a.shape[1]
+        parts.append(a)
+    return jnp.concatenate(parts, axis=1), offs
+
+
+def pack_static_sweep(cfg, nbr, valid, dtype):
+    """Per-sweep-side face geometry / mask channels — constant per case,
+    packed ONCE (driver prepacks at init so no per-call relayout) and fed
+    to the kernel as a separate operand, pre-transposed to the kernel's
+    (P, Cs, K2, J2) layout."""
+    fields = {}
+    for d in "ijk":
+        inp = nbr[d]
+        fields[f"n_{d}"] = (inp["n"], "eqfirst")
+        fields[f"mag_{d}"] = (inp["mag"], "plain")
+        fields[f"mask_{d}"] = (jnp.asarray(inp["mask"]).astype(dtype),
+                               "plain")
+        if cfg.get("viscous", False):
+            fields[f"dist_{d}"] = (inp["dist"], "plain")
+    fields["valid"] = (jnp.asarray(valid).astype(dtype), "plain")
+    packed, offs = _pack(fields, dtype)
+    return jnp.swapaxes(packed, 2, 3), offs
+
+
+def pack_dynamic_sweep(phys, cfg, nbr, b_skew, extra_term, du_skew,
+                       inv_flow_skew, inv_turb_skew, dtype):
+    """Per-call sweep inputs (state, rhs, diagonal, update)."""
     fields = {}
     for d in "ijk":
         inp = nbr[d]
         fields[f"q_{d}"] = (inp["q_nb"], "eqfirst")
-        fields[f"n_{d}"] = (inp["n"], "eqfirst")
-        fields[f"mag_{d}"] = (inp["mag"], "plain")
-        fields[f"mask_{d}"] = (inp["mask"].astype(dtype), "plain")
         if cfg.get("viscous", False):
-            fields[f"dist_{d}"] = (inp["dist"], "plain")
             for key in ("mu", "mut", "f1"):
                 if inp.get(key) is not None:
                     fields[f"{key}_{d}"] = (inp[key], "plain")
@@ -54,18 +80,10 @@ def pack_sweep_inputs(phys, cfg, nbr, b_skew, extra_term, du_skew, valid,
     if extra_term is not None:
         fields["extra"] = (extra_term, "eqfirst")
     fields["du0"] = (du_skew, "eqfirst")
-    fields["valid"] = (valid.astype(dtype), "plain")
     fields["inv_f"] = (inv_flow_skew, "plain")
     if inv_turb_skew is not None:
         fields["inv_t"] = (inv_turb_skew, "plain")
-    parts, offs = [], {}
-    c = 0
-    for name, (arr, kind) in fields.items():
-        a = _norm_plane(arr.astype(dtype), kind)
-        offs[name] = (c, a.shape[1])
-        c += a.shape[1]
-        parts.append(a)
-    return jnp.concatenate(parts, axis=1), offs
+    return _pack(fields, dtype)
 
 
 def _get(chunk, offs, name, squeeze=False):
@@ -94,22 +112,37 @@ def _shift(plane, d, up):
     return jnp.concatenate([lo, hi], axis=ax)
 
 
-def sweep(phys, cfg, packed, offs, carry0, forward: bool, with_extra: bool):
+def sweep(phys, cfg, packed_s, offs_s, packed_d, offs_d, carry0,
+          forward: bool, with_extra: bool):
     """Run one whole LU-SGS sweep as a single pallas_call.
 
-    packed: (P, C, J2, K2); carry0: the boundary plane (neq, J2, K2).
-    Returns the updated planes (P-1, neq, J2, K2) in natural plane order
-    (forward: planes 1..P-1; backward: planes 0..P-2)."""
+    packed_s: (P, Cs, K2, J2) pre-transposed static geometry channels;
+    packed_d: (P, Cd, J2, K2) per-call channels; carry0: the boundary
+    plane (neq, J2, K2).  Returns the updated planes (P-1, neq, J2, K2)
+    in natural plane order (forward: planes 1..P-1; backward: 0..P-2)."""
     from . import implicit as imp
 
-    P, C, J2, K2 = packed.shape
+    P, Cd, J2, K2 = packed_d.shape
+    Cs = packed_s.shape[1]
     neq = phys.neq
-    dtype = packed.dtype
+    dtype = packed_d.dtype
     # transpose so the long plane axis is the TPU lane dimension
-    packed = jnp.swapaxes(packed, 2, 3)       # (P, C, K2, J2)
+    packed_d = jnp.swapaxes(packed_d, 2, 3)   # (P, Cd, K2, J2)
     carry0 = jnp.swapaxes(carry0, 1, 2)       # (neq, K2, J2)
 
-    def body(chunk, prev):
+    def body(chunk_s, chunk_d, prev):
+        def _get(_ignored, offs, name, squeeze=False):
+            if name in offs_d:
+                o, k = offs_d[name]
+                v = chunk_d[o:o + k]
+            elif name in offs_s:
+                o, k = offs_s[name]
+                v = chunk_s[o:o + k]
+            else:
+                return None
+            return v[0] if squeeze else v
+        chunk = None
+        offs = None
         if forward:
             acc = 0.0
             for d in "ijk":
@@ -157,10 +190,10 @@ def sweep(phys, cfg, packed, offs, carry0, forward: bool, with_extra: bool):
         vt = _get(chunk, offs, "valid", True) > 0.5
         return jnp.where(vt[None], xnew, _get(chunk, offs, "du0"))
 
-    def kernel(packed_ref, carry0_ref, out_ref, carry):
+    def kernel(static_ref, packed_ref, carry0_ref, out_ref, carry):
         p = pl.program_id(0)
         prev = jnp.where(p == 0, carry0_ref[...], carry[...])
-        plane = body(packed_ref[0], prev)
+        plane = body(static_ref[0], packed_ref[0], prev)
         carry[...] = plane
         out_ref[0] = plane
 
@@ -175,7 +208,8 @@ def sweep(phys, cfg, packed, offs, carry0, forward: bool, with_extra: bool):
         kernel,
         grid=(P - 1,),
         in_specs=[
-            pl.BlockSpec((1, C, K2, J2), pk_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cs, K2, J2), pk_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cd, K2, J2), pk_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((neq, K2, J2), lambda p: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -183,7 +217,7 @@ def sweep(phys, cfg, packed, offs, carry0, forward: bool, with_extra: bool):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P - 1, neq, K2, J2), dtype),
         scratch_shapes=[pltpu.VMEM((neq, K2, J2), dtype)],
-    )(packed, carry0)
+    )(packed_s, packed_d, carry0)
     return jnp.swapaxes(out, 2, 3)
 
 
