@@ -40,6 +40,10 @@ def main(argv=None):
     parser.add_argument("--debug", action="store_true",
                         help="per-iteration physicality checks (analogue "
                              "of the reference's FP-exception trapping)")
+    parser.add_argument("--shard", type=int, default=0, metavar="N",
+                        help="shard block state over an N-device mesh "
+                             "(XLA GSPMD halo collectives over ICI; the "
+                             "reference's MPI rank parallelism)")
     args = parser.parse_args(argv)
 
     import jax
@@ -56,6 +60,8 @@ def main(argv=None):
     from .solver.driver import Solver
     solver = Solver(args.input, restart_path=args.restart,
                     nproc=args.nproc, debug=args.debug)
+    if args.shard:
+        solver.enable_sharding(args.shard)
     solver.run(iterations=args.iterations, write_files=not args.no_files)
     print("Program Complete")
     return 0

@@ -95,9 +95,10 @@ class Solver:
                                     static_argnames=("stage",))
 
         def _iterate(prims, cons_n, cons_nm1, cfl, stage, bc_aux=None):
-            return self._iterate_geo(self._geo_args, prims, cons_n,
-                                     cons_nm1, cfl, stage=stage,
-                                     bc_aux=bc_aux)
+            with self._trace_ctx():
+                return self._iterate_geo(self._geo_args, prims, cons_n,
+                                         cons_nm1, cfl, stage=stage,
+                                         bc_aux=bc_aux)
         self._iterate = _iterate
         self.bc_aux = self._zero_bc_aux()
         self.cons_n = self.store_old_solution()
@@ -175,6 +176,44 @@ class Solver:
         with self._bound_geometry(geo_args):
             return self._iteration(prims, cons_n, cons_nm1, cfl, stage,
                                    bc_aux=bc_aux)
+
+    # -- multi-device production runs ----------------------------------------
+    def enable_sharding(self, n_devices=None, mesh=None):
+        """Shard every block's state over a device mesh for all
+        subsequent iterations — the production multi-chip path (XLA's
+        GSPMD partitioner inserts the halo collectives the reference
+        implements by hand over MPI, procBlock.cpp:3050-3123).  Call
+        before run(); retraces under the SPMD-safe update formulation
+        (solver/sput.py) with the XLA scan sweeps (a pallas call is not
+        partitionable across devices)."""
+        from ..parallel.shard import make_mesh, block_spec
+        from jax.sharding import NamedSharding, PartitionSpec
+        self.shard_mesh = mesh or make_mesh(
+            n_devices or len(jax.devices()))
+        self.cfg["no_pallas"] = True
+        repl = NamedSharding(self.shard_mesh, PartitionSpec())
+        put_repl = lambda t: jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), repl), t)
+        for b in self.case.blocks:
+            spec = block_spec(b, self.shard_mesh)
+            self.prims[b.index] = jax.device_put(
+                self.prims[b.index], NamedSharding(self.shard_mesh, spec))
+        self.cons_n = put_repl(self.cons_n)
+        self.cons_nm1 = put_repl(self.cons_nm1)
+        self.bc_aux = put_repl(self.bc_aux)
+        self._geo_args = put_repl(self._geo_args)
+        # drop executables traced for the single-device formulation
+        if hasattr(self, "_chunk_jit"):
+            del self._chunk_jit
+        self._iterate_geo = jax.jit(self._iteration_with_geo,
+                                    static_argnames=("stage",))
+        return self
+
+    def _trace_ctx(self):
+        from .sput import safe_updates
+        from contextlib import nullcontext
+        return (safe_updates() if getattr(self, "shard_mesh", None)
+                else nullcontext())
 
     def _zero_bc_aux(self):
         out = {}
@@ -1059,8 +1098,9 @@ class Solver:
                 with self._bound_geometry(geo_args):
                     return jax.lax.scan(self._chunk_body, carry, cfls)
             self._chunk_jit = jax.jit(scan_steps)
-        carry, ys = self._chunk_jit(self._geo_args,
-                                    (prims, cons_n, cons_nm1, bc_aux), cfls)
+        with self._trace_ctx():
+            carry, ys = self._chunk_jit(
+                self._geo_args, (prims, cons_n, cons_nm1, bc_aux), cfls)
         return carry + (ys,)
 
     def _log_chunk_outputs(self, nn0, cfls, ys, iter_time, sim_start,

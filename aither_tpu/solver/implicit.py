@@ -696,7 +696,7 @@ def prepack_group_static(cfg, blocks, ctxs, dtype):
                    for k2 in statics[0][d]} for d in "ijk"}
         key = (side, viscous, np.dtype(dtype).name,
                tuple(b.index for b in blocks))
-        packed, offs = ps.pack_static_sweep(cfg, nbr, valid, dtype)
+        packed, offs = ps.pack_static_sweep(cfg, nbr, valid, dtype, side)
         ctx0._static_packed[key] = packed
         ctx0._static_offs[key] = offs
 
@@ -709,7 +709,7 @@ def _group_static_packed(cfg, items, side, nbr_stacked, valid, dtype):
     key = _group_key(cfg, items, side, dtype)
     if key in ctx0._static_offs:
         return ctx0._static_packed[key], ctx0._static_offs[key]
-    return ps.pack_static_sweep(cfg, nbr_stacked, valid, dtype)
+    return ps.pack_static_sweep(cfg, nbr_stacked, valid, dtype, side)
 
 
 def lusgs_forward(phys: Physics, cfg, block, ctx, prim, du_padded, b_skew,
@@ -897,10 +897,12 @@ def lusgs_backward_group(phys: Physics, cfg, items, with_lower: bool):
             phys, cfg, upp, b_skew if with_lower else None,
             L_term if with_lower else None, du_skew, inv_flow_skew,
             inv_turb_skew, du_skew.dtype)
-        planes_nat = ps.sweep(phys, cfg, packed_s, offs_s, packed_d, offs_d,
-                              carry0, forward=False, with_extra=with_lower)
+        planes_proc = ps.sweep(phys, cfg, packed_s, offs_s, packed_d, offs_d,
+                               carry0, forward=False, with_extra=with_lower)
+        # processing order is P-2..0; reverse to natural plane order
         all_planes = jnp.concatenate(
-            [jnp.moveaxis(planes_nat, 0, 1), du_skew[:, P - 1:]], axis=1)
+            [jnp.moveaxis(planes_proc, 0, 1)[:, ::-1], du_skew[:, P - 1:]],
+            axis=1)
     else:
         _, planes = jax.lax.scan(body, carry0, jnp.arange(P - 2, -1, -1),
                                  unroll=8)

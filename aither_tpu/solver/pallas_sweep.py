@@ -45,11 +45,41 @@ def _pack(fields, dtype):
     return jnp.concatenate(parts, axis=1), offs
 
 
-def pack_static_sweep(cfg, nbr, valid, dtype):
+def plane_chunk(P, C, K2, J2, dtype):
+    """Planes per grid step: amortize the per-step pipeline overhead of
+    the wavefront (each plane's compute is tiny) while keeping the
+    double-buffered operand blocks comfortably inside VMEM."""
+    # C here is the STATIC channel count (the only one both the init-time
+    # prepack and the sweep call can agree on).  Multi-plane blocks pay
+    # off when planes are tiny (per-step pipeline overhead dominates);
+    # for big planes the per-plane compute already covers the overhead
+    # and the q-times-larger unrolled kernel only strains the compiler.
+    import numpy as np
+    bytes_per_plane = C * K2 * J2 * np.dtype(dtype).itemsize
+    q = 8
+    while q > 1 and q * bytes_per_plane > 128 * 1024:
+        q //= 2
+    return q
+
+
+def _arrange(packed, side, q):
+    """Slice the P planes into sweep processing order (forward consumes
+    lower-side inputs for planes 1..P-1, backward upper-side for planes
+    P-2..0) and pad to a multiple of the q-plane grid block."""
+    P = packed.shape[0]
+    arr = packed[1:] if side == "lower" else packed[:P - 1][::-1]
+    pad = (-(P - 1)) % q
+    if pad:
+        cfgs = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+        arr = jnp.pad(arr, cfgs)
+    return arr
+
+
+def pack_static_sweep(cfg, nbr, valid, dtype, side):
     """Per-sweep-side face geometry / mask channels — constant per case,
     packed ONCE (driver prepacks at init so no per-call relayout) and fed
     to the kernel as a separate operand, pre-transposed to the kernel's
-    (P, Cs, K2, J2) layout."""
+    (q-padded P, Cs, K2, J2) processing-order layout."""
     fields = {}
     for d in "ijk":
         inp = nbr[d]
@@ -61,7 +91,9 @@ def pack_static_sweep(cfg, nbr, valid, dtype):
             fields[f"dist_{d}"] = (inp["dist"], "plain")
     fields["valid"] = (jnp.asarray(valid).astype(dtype), "plain")
     packed, offs = _pack(fields, dtype)
-    return jnp.swapaxes(packed, 2, 3), offs
+    P, Cs, J2, K2 = packed.shape
+    q = plane_chunk(P, Cs, K2, J2, dtype)
+    return _arrange(jnp.swapaxes(packed, 2, 3), side, q), offs
 
 
 def pack_dynamic_sweep(phys, cfg, nbr, b_skew, extra_term, du_skew,
@@ -116,19 +148,27 @@ def sweep(phys, cfg, packed_s, offs_s, packed_d, offs_d, carry0,
           forward: bool, with_extra: bool):
     """Run one whole LU-SGS sweep as a single pallas_call.
 
-    packed_s: (P, Cs, K2, J2) pre-transposed static geometry channels;
-    packed_d: (P, Cd, J2, K2) per-call channels; carry0: the boundary
-    plane (neq, J2, K2).  Returns the updated planes (P-1, neq, J2, K2)
-    in natural plane order (forward: planes 1..P-1; backward: 0..P-2)."""
+    packed_s: (q-padded P, Cs, K2, J2) static geometry channels, already
+    in processing order (pack_static_sweep); packed_d: (P, Cd, J2, K2)
+    per-call channels; carry0: the boundary plane (neq, J2, K2).
+    Returns the updated planes (P-1, neq, J2, K2) in PROCESSING order
+    (forward: planes 1..P-1; backward: planes P-2..0).  The grid walks
+    q-plane blocks with an unrolled in-kernel recurrence, amortizing the
+    per-step pipeline overhead of the tiny planes."""
     from . import implicit as imp
 
     P, Cd, J2, K2 = packed_d.shape
     Cs = packed_s.shape[1]
     neq = phys.neq
     dtype = packed_d.dtype
-    # transpose so the long plane axis is the TPU lane dimension
-    packed_d = jnp.swapaxes(packed_d, 2, 3)   # (P, Cd, K2, J2)
+    q = plane_chunk(P, Cs, K2, J2, dtype)
+    side = "lower" if forward else "upper"
+    # transpose so the long plane axis is the TPU lane dimension, then
+    # processing order + q padding (the static operand comes pre-arranged)
+    packed_d = _arrange(jnp.swapaxes(packed_d, 2, 3), side, q)
     carry0 = jnp.swapaxes(carry0, 1, 2)       # (neq, K2, J2)
+    Pq = packed_d.shape[0]
+    assert packed_s.shape[0] == Pq, (packed_s.shape, packed_d.shape)
 
     def body(chunk_s, chunk_d, prev):
         def _get(_ignored, offs, name, squeeze=False):
@@ -193,39 +233,34 @@ def sweep(phys, cfg, packed_s, offs_s, packed_d, offs_d, carry0,
     def kernel(static_ref, packed_ref, carry0_ref, out_ref, carry):
         p = pl.program_id(0)
         prev = jnp.where(p == 0, carry0_ref[...], carry[...])
-        plane = body(static_ref[0], packed_ref[0], prev)
-        carry[...] = plane
-        out_ref[0] = plane
+        for t in range(q):
+            prev = body(static_ref[t], packed_ref[t], prev)
+            out_ref[t] = prev
+        carry[...] = prev
 
-    if forward:
-        pk_map = lambda p: (p + 1, 0, 0, 0)   # planes 1..P-1
-        out_map = lambda p: (p, 0, 0, 0)      # slot t-1 for plane t
-    else:
-        pk_map = lambda p: (P - 2 - p, 0, 0, 0)  # planes P-2..0
-        out_map = lambda p: (P - 2 - p, 0, 0, 0)
-
+    blk = lambda p: (p, 0, 0, 0)
     out = pl.pallas_call(
         kernel,
-        grid=(P - 1,),
+        grid=(Pq // q,),
         in_specs=[
-            pl.BlockSpec((1, Cs, K2, J2), pk_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cd, K2, J2), pk_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, Cs, K2, J2), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, Cd, K2, J2), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((neq, K2, J2), lambda p: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, neq, K2, J2), out_map,
+        out_specs=pl.BlockSpec((q, neq, K2, J2), blk,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((P - 1, neq, K2, J2), dtype),
+        out_shape=jax.ShapeDtypeStruct((Pq, neq, K2, J2), dtype),
         scratch_shapes=[pltpu.VMEM((neq, K2, J2), dtype)],
     )(packed_s, packed_d, carry0)
-    return jnp.swapaxes(out, 2, 3)
+    return jnp.swapaxes(out[:P - 1], 2, 3)
 
 
 def use_pallas(cfg, dtype, ns=1) -> bool:
     """Pallas sweeps: scalar solver, single species, float32, TPU backend
     (multi-species physics still closes over per-species constant arrays,
     which Pallas cannot capture)."""
-    if cfg.get("block_matrix") or ns != 1:
+    if cfg.get("no_pallas") or cfg.get("block_matrix") or ns != 1:
         return False
     if dtype != jnp.float32:
         return False

@@ -93,3 +93,32 @@ def test_rae2822_sharded_parity(tmp_path):
                     workdir=str(tmp_path))
     err = sharded_parity(solver, 8)
     assert err < 1e-10
+
+
+def test_sharded_production_run(tmp_path):
+    """A full production run() with state sharded over the 8-device mesh
+    (enable_sharding / --shard) reproduces the single-device residual
+    history — the multi-chip path is the SAME program, partitioned."""
+    from aither_tpu.solver.driver import Solver
+    ref = os.path.join(REF_CASES, "subsonicCylinder")
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    for d in (d1, d2):
+        os.mkdir(d)
+        for f in os.listdir(ref):
+            shutil.copy(os.path.join(ref, f), d)
+
+    def resid(workdir, shard):
+        s = Solver(os.path.join(workdir, "subsonicCylinder.inp"),
+                   workdir=workdir)
+        if shard:
+            s.enable_sharding(8)
+        s.run(iterations=4, write_files=False)
+        rows = []
+        with open(os.path.join(workdir, "subsonicCylinder.resid")) as f:
+            for line in f.readlines()[1:]:
+                rows.append([float(v) for v in line.split()[2:10]])
+        return np.asarray(rows)
+
+    a = resid(d1, shard=False)
+    b = resid(d2, shard=True)
+    np.testing.assert_allclose(b, a, rtol=1e-8, atol=1e-12)
