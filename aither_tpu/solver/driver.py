@@ -1106,7 +1106,10 @@ class Solver:
     def _log_chunk_outputs(self, nn0, cfls, ys, iter_time, sim_start,
                            total_dof):
         """Write the .resid/.tme rows for one completed chunk from the
-        stacked device outputs (identical content to the per-step path)."""
+        stacked device outputs (identical content to the per-step path).
+        One device_get for the whole pytree — per-field fetches would
+        round-trip the device once per step per column."""
+        ys = jax.device_get(ys)
         nsteps = len(cfls)
         per = iter_time / nsteps
         for s in range(nsteps):

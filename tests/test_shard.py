@@ -122,3 +122,33 @@ def test_sharded_production_run(tmp_path):
     a = resid(d1, shard=False)
     b = resid(d2, shard=True)
     np.testing.assert_allclose(b, a, rtol=1e-8, atol=1e-12)
+
+
+def test_decomposed_sharded_run(tmp_path):
+    """--nproc and --shard compose: a decomposed (really split) case runs
+    with its sub-block state sharded over the mesh and reproduces the
+    unsharded decomposed residual history."""
+    from aither_tpu.solver.driver import Solver
+    ref = os.path.join(REF_CASES, "subsonicCylinder")
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    for d in (d1, d2):
+        os.mkdir(d)
+        for f in os.listdir(ref):
+            shutil.copy(os.path.join(ref, f), d)
+
+    def resid(workdir, shard):
+        s = Solver(os.path.join(workdir, "subsonicCylinder.inp"),
+                   workdir=workdir, nproc=2)
+        assert s.case.decomp.splits
+        if shard:
+            s.enable_sharding(8)
+        s.run(iterations=3, write_files=False)
+        rows = []
+        with open(os.path.join(workdir, "subsonicCylinder.resid")) as f:
+            for line in f.readlines()[1:]:
+                rows.append([float(v) for v in line.split()[2:10]])
+        return np.asarray(rows)
+
+    a = resid(d1, shard=False)
+    b = resid(d2, shard=True)
+    np.testing.assert_allclose(b, a, rtol=1e-8, atol=1e-12)
