@@ -1140,7 +1140,11 @@ class Solver:
         return best if best >= min(4, iterations) else chunk
 
     def _run_chunked(self, iterations, chunk):
-        """Chunked main loop: no per-iteration host round-trips."""
+        """Chunked main loop: no per-iteration host round-trips, and the
+        next chunk is enqueued BEFORE the previous chunk's outputs are
+        fetched for logging — the fetch then overlaps the next chunk's
+        execution, hiding the per-dispatch transport latency (measured
+        ~2x on the tunneled device)."""
         deck = self.deck
         chunk = self._pick_chunk(iterations, chunk)
         sim_start = time.perf_counter()
@@ -1150,6 +1154,7 @@ class Solver:
                                            self.cons_nm1, self.bc_aux)
         total_dof = self.case.total_cells * self.phys.neq
         nn = 0
+        pending = None          # (nn0, cfls, ys, t_enqueued)
         while nn < iterations:
             n = min(chunk, iterations - nn)
             cfls = np.asarray([deck.cfl(nn + s) for s in range(n)],
@@ -1157,11 +1162,18 @@ class Solver:
             t0 = time.perf_counter()
             prims, cons_n, cons_nm1, bc_aux, ys = self._run_chunk(
                 prims, cons_n, cons_nm1, bc_aux, jnp.asarray(cfls))
-            jax.block_until_ready(prims[self.case.blocks[0].index])
-            self._log_chunk_outputs(nn + self.iteration_start, cfls, ys,
-                                    time.perf_counter() - t0, sim_start,
-                                    total_dof)
+            if pending is not None:
+                p_nn0, p_cfls, p_ys, p_t0 = pending
+                self._log_chunk_outputs(p_nn0, p_cfls, p_ys,
+                                        time.perf_counter() - p_t0,
+                                        sim_start, total_dof)
+            pending = (nn + self.iteration_start, cfls, ys, t0)
             nn += n
+        p_nn0, p_cfls, p_ys, p_t0 = pending
+        jax.block_until_ready(prims[self.case.blocks[0].index])
+        self._log_chunk_outputs(p_nn0, p_cfls, p_ys,
+                                time.perf_counter() - p_t0, sim_start,
+                                total_dof)
         self.prims, self.cons_n = prims, cons_n
         self.cons_nm1, self.bc_aux = cons_nm1, bc_aux
 

@@ -126,7 +126,7 @@ def main():
     prod = Solver(deck, workdir=workdir)
     sys.stdout = sys.stderr
     try:
-        prod.run(iterations=2 * CHUNK, write_files=False, chunk=CHUNK)
+        prod.run(iterations=4 * CHUNK, write_files=False, chunk=CHUNK)
     finally:
         sys.stdout = real_stdout
     with open(os.path.join(workdir, "rae2822.tme")) as f:
