@@ -1066,6 +1066,49 @@ class Solver:
         return v, (eqn + 1, b.parent, i, j, k)
 
     # -- chunked device-side stepping ----------------------------------------
+    def _physicality_stats(self, prims):
+        """Device-side physicality minima — min density/pressure (+ flat
+        argmin location) and, for RANS, min tke, per block, in a fixed
+        (block, field) order.  Carried through the chunked scan so debug
+        mode guards the production path without leaving the device
+        (reference: MSG_ASSERT guards, procBlock.cpp:434-437)."""
+        phys = self.phys
+        mins, locs = [], []
+        for b in self.case.blocks:
+            g = b.g
+            P = (slice(None), slice(g, g + b.ni), slice(g, g + b.nj),
+                 slice(g, g + b.nk))
+            q = prims[b.index][P]
+            fields = [q[:phys.ns].sum(axis=0), q[phys.ie]]
+            if phys.nturb:
+                fields.append(q[phys.it])
+            for f in fields:
+                flat = f.reshape(-1)
+                # jnp.argmin lands on the first NaN if any (NaN propagates
+                # through min), so the location always points at the
+                # offending cell
+                mins.append(jnp.min(flat))
+                locs.append(jnp.argmin(flat))
+        return jnp.stack(mins), jnp.stack(locs).astype(jnp.int32)
+
+    def _pack_outputs(self, l2, linfs, mr, prims):
+        """Pack one nonlinear iteration's log outputs (and in debug mode
+        the physicality minima) into ONE float + ONE int vector.  On the
+        tunneled device every pytree leaf fetched costs a round trip, so
+        the whole run's logging must collapse to a handful of buffers:
+        layout [l2(neq) | linf-val(nb) | mr | dbg-min(nb*nf)], int side
+        [linf-loc(nb) | dbg-loc(nb*nf)]."""
+        ft = self.case.dtype
+        f = [jnp.asarray(l2, ft).reshape(-1),
+             jnp.stack([v for v, _ in linfs]).astype(ft),
+             jnp.reshape(jnp.asarray(mr, ft), (1,))]
+        i = [jnp.stack([loc for _, loc in linfs]).astype(jnp.int32)]
+        if self.debug:
+            mins, locs = self._physicality_stats(prims)
+            f.append(mins.astype(ft))
+            i.append(locs)
+        return jnp.concatenate(f), jnp.concatenate(i)
+
     def _chunk_body(self, carry, cfl):
         """One full time step — store-old-solution + all nonlinear
         iterations — traced on device and scanned over a chunk of steps
@@ -1086,9 +1129,10 @@ class Solver:
             prims, l2, linfs, mr, bc_aux = self._iteration(
                 prims, cons_n, cons_nm1, cfl, stage=mm if rk4 else 0,
                 bc_aux=bc_aux)
-            ys.append((l2, linfs, mr))
+            ys.append(self._pack_outputs(l2, linfs, mr, prims))
         new_nm1 = cons_n if self.cfg["multilevel_time"] else cons_nm1
-        return (prims, cons_n, new_nm1, bc_aux), tuple(ys)
+        ys = (jnp.stack([f for f, _ in ys]), jnp.stack([i for _, i in ys]))
+        return (prims, cons_n, new_nm1, bc_aux), ys
 
     def _run_chunk(self, prims, cons_n, cons_nm1, bc_aux, cfls):
         """Scan ``len(cfls)`` full time steps in one dispatch.  Returns the
@@ -1103,79 +1147,169 @@ class Solver:
                 self._geo_args, (prims, cons_n, cons_nm1, bc_aux), cfls)
         return carry + (ys,)
 
-    def _log_chunk_outputs(self, nn0, cfls, ys, iter_time, sim_start,
+    def _log_chunk_outputs(self, nn0, cfls, fpack, ipack, per, simtime,
                            total_dof):
         """Write the .resid/.tme rows for one completed chunk from the
-        stacked device outputs (identical content to the per-step path).
-        One device_get for the whole pytree — per-field fetches would
-        round-trip the device once per step per column."""
-        ys = jax.device_get(ys)
-        nsteps = len(cfls)
-        per = iter_time / nsteps
-        for s in range(nsteps):
-            for mm, (l2s, linfs, mrs) in enumerate(ys):
-                l2 = np.sqrt(np.asarray(l2s)[s])
-                linf_host = [(np.asarray(v)[s], np.asarray(loc)[s])
-                             for v, loc in linfs]
+        packed HOST arrays (identical content to the per-step path).
+        ``per`` is the chunk-average per-iteration wall time, ``simtime``
+        the chunk's completion time relative to run start."""
+        neq = self.phys.neq
+        nb = len(self.case.blocks)
+        for s in range(len(cfls)):
+            for mm in range(fpack.shape[1]):
+                fv, iv = fpack[s, mm], ipack[s, mm]
+                l2 = np.sqrt(fv[:neq])
+                linf_host = [(fv[neq + bi], iv[bi]) for bi in range(nb)]
                 linf_val, linf_loc = self._decode_linf(linf_host)
-                mr = float(np.asarray(mrs)[s])
+                mr = float(fv[neq + nb])
                 mr = np.sqrt(mr / total_dof) if mr > 0 else 0.0
                 self._write_residuals(nn0 + s, mm, float(cfls[s]), l2,
                                       linf_val, linf_loc, mr)
-            now = time.perf_counter()
+                if self.debug:
+                    self._check_packed_phys(fv, iv, nn0 + s, mm, l2)
             self.time_file.write(
                 f"{nn0 + s - self.iteration_start:<7d}{per:<16.6e}"
-                f"{now - sim_start:<16.6e}\n")
+                f"{simtime:<16.6e}\n")
+
+    def _check_packed_phys(self, fv, iv, nn, mm, l2):
+        """Host-side decode of the packed physicality minima: abort with
+        the offending field/block/cell exactly like the per-step
+        ``check_physicality`` (reference: procBlock.cpp:434-437).  Field
+        violations are reported before the residual-norm check — the
+        reference's in-loop asserts fire before residuals are summed."""
+        neq = self.phys.neq
+        nb = len(self.case.blocks)
+        names = ["density", "pressure"] + (["tke"] if self.phys.nturb
+                                           else [])
+        off_f, off_i = neq + nb + 1, nb
+        k = 0
+        for b in self.case.blocks:
+            for name in names:
+                v = float(fv[off_f + k])
+                bad = not np.isfinite(v) or (name != "tke" and v <= 0.0)
+                if bad:
+                    loc = np.unravel_index(int(iv[off_i + k]),
+                                           (b.ni, b.nj, b.nk))
+                    raise FloatingPointError(
+                        f"non-physical {name} {v:.6e} at iteration {nn} "
+                        f"nonlinear-iter {mm}, block {b.parent}, "
+                        f"cell {tuple(int(x) for x in loc)}")
+                k += 1
+        if not np.all(np.isfinite(l2)):
+            raise FloatingPointError(
+                f"non-finite residual L2 {l2} at iteration {nn} "
+                f"nonlinear-iter {mm}")
 
     @staticmethod
     def _pick_chunk(iterations, chunk):
-        """Largest divisor of ``iterations`` not above max(chunk, 32), so
-        every chunk reuses ONE compiled scan (a ragged tail chunk would
-        compile a second executable)."""
-        cap = max(chunk, 32)
-        best = 1
-        for d in range(1, cap + 1):
-            if iterations % d == 0:
-                best = d
-        return best if best >= min(4, iterations) else chunk
+        """Chunk plan ``(size, tail)``.  ``chunk`` is a CEILING on the
+        scan length (callers bound per-dispatch work with it).  Prefer
+        the largest divisor of ``iterations`` within the cap, so every
+        chunk reuses ONE compiled scan; when no decent divisor exists
+        (prime/awkward counts) run full ``chunk``-step scans plus a
+        short tail executed on the per-step path — never a silently
+        compiled second scan shape."""
+        cap = max(1, min(chunk, iterations))
+        best = max(d for d in range(1, cap + 1) if iterations % d == 0)
+        if 2 * best >= cap:
+            return best, 0
+        return cap, iterations % cap
 
     def _run_chunked(self, iterations, chunk):
-        """Chunked main loop: no per-iteration host round-trips, and the
-        next chunk is enqueued BEFORE the previous chunk's outputs are
-        fetched for logging — the fetch then overlaps the next chunk's
-        execution, hiding the per-dispatch transport latency (measured
-        ~2x on the tunneled device)."""
+        """Chunked main loop, transport-insensitive: chunks are enqueued
+        back-to-back (async dispatch keeps the device busy), each chunk's
+        completion is timestamped with a data-free ``block_until_ready``
+        on its carry, and the packed per-step outputs stay ON DEVICE
+        until the loop ends — one concatenate + one two-leaf fetch for
+        the WHOLE run.  On the tunneled device a per-chunk pytree fetch
+        cost ~2-3 s against ~60 ms of compute (round-2 verdict #1); this
+        path pays transport once per run, so the recorded .tme rows
+        reflect the machine.  In debug mode outputs are instead fetched
+        per chunk so physicality violations abort promptly.  File
+        content is identical to the per-step path."""
         deck = self.deck
-        chunk = self._pick_chunk(iterations, chunk)
+        size, tail = self._pick_chunk(iterations, chunk)
         sim_start = time.perf_counter()
         if (self.cfg["multilevel_time"] and self.iteration_start == 0):
             self.cons_nm1 = dict(self.store_old_solution())
         prims, cons_n, cons_nm1, bc_aux = (self.prims, self.cons_n,
                                            self.cons_nm1, self.bc_aux)
         total_dof = self.case.total_cells * self.phys.neq
+        done = []               # (nn0, cfls, ys, per, simtime)
+        prev = None             # (nn0, cfls, ys, carry_leaf)
+        t_prev = sim_start
         nn = 0
-        pending = None          # (nn0, cfls, ys, t_enqueued)
-        while nn < iterations:
-            n = min(chunk, iterations - nn)
-            cfls = np.asarray([deck.cfl(nn + s) for s in range(n)],
+
+        def finish(prev, t_prev):
+            p_nn0, p_cfls, p_ys, p_leaf = prev
+            jax.block_until_ready(p_leaf)
+            t_done = time.perf_counter()
+            per = (t_done - t_prev) / len(p_cfls)
+            if self.debug:
+                f_h, i_h = jax.device_get(p_ys)
+                self._log_chunk_outputs(p_nn0, p_cfls, f_h, i_h, per,
+                                        t_done - sim_start, total_dof)
+            else:
+                done.append((p_nn0, p_cfls, p_ys, per, t_done - sim_start))
+            return t_done
+
+        while nn < iterations - tail:
+            cfls = np.asarray([deck.cfl(nn + s) for s in range(size)],
                               dtype=self.case.dtype)
-            t0 = time.perf_counter()
             prims, cons_n, cons_nm1, bc_aux, ys = self._run_chunk(
                 prims, cons_n, cons_nm1, bc_aux, jnp.asarray(cfls))
-            if pending is not None:
-                p_nn0, p_cfls, p_ys, p_t0 = pending
-                self._log_chunk_outputs(p_nn0, p_cfls, p_ys,
-                                        time.perf_counter() - p_t0,
-                                        sim_start, total_dof)
-            pending = (nn + self.iteration_start, cfls, ys, t0)
-            nn += n
-        p_nn0, p_cfls, p_ys, p_t0 = pending
-        jax.block_until_ready(prims[self.case.blocks[0].index])
-        self._log_chunk_outputs(p_nn0, p_cfls, p_ys,
-                                time.perf_counter() - p_t0, sim_start,
-                                total_dof)
+            if prev is not None:
+                t_prev = finish(prev, t_prev)
+            prev = (nn + self.iteration_start, cfls, ys,
+                    prims[self.case.blocks[0].index])
+            nn += size
+        finish(prev, t_prev)
+        if done:
+            f_all, i_all = jax.device_get(
+                (jnp.concatenate([d[2][0] for d in done]),
+                 jnp.concatenate([d[2][1] for d in done])))
+            row = 0
+            for p_nn0, p_cfls, _ys, per, simtime in done:
+                n = len(p_cfls)
+                self._log_chunk_outputs(p_nn0, p_cfls,
+                                        f_all[row:row + n],
+                                        i_all[row:row + n], per, simtime,
+                                        total_dof)
+                row += n
         self.prims, self.cons_n = prims, cons_n
         self.cons_nm1, self.bc_aux = cons_nm1, bc_aux
+        # ragged tail (prime/awkward iteration counts): a few per-step
+        # iterations on the already-jitted single-step executable instead
+        # of compiling a second scan shape
+        rk4 = self.cfg["time_integration"] == "rk4"
+        nl_iters = deck["nonlinearIterations"]
+        multilevel = self.cfg["multilevel_time"]
+        for s in range(tail):
+            nn_g = iterations - tail + s
+            iter_start = time.perf_counter()
+            cfl = deck.cfl(nn_g)
+            self.cons_n = self.store_old_solution()
+            for mm in range(nl_iters):
+                prims, l2, linfs, mr_, self.bc_aux = self._iterate(
+                    self.prims, self.cons_n, self.cons_nm1,
+                    jnp.asarray(cfl, self.case.dtype),
+                    stage=mm if rk4 else 0, bc_aux=self.bc_aux)
+                self.prims = prims
+                l2 = np.sqrt(np.asarray(l2))
+                linf_val, linf_loc = self._decode_linf(linfs)
+                mr = float(mr_)
+                mr = np.sqrt(mr / total_dof) if mr > 0 else 0.0
+                self._write_residuals(nn_g + self.iteration_start, mm, cfl,
+                                      l2, linf_val, linf_loc, mr)
+                if self.debug:
+                    self.check_physicality(nn_g + self.iteration_start, mm,
+                                           l2)
+                if multilevel and mm == nl_iters - 1:
+                    self.cons_nm1 = dict(self.cons_n)
+            now = time.perf_counter()
+            self.time_file.write(
+                f"{nn_g:<7d}{now - iter_start:<16.6e}"
+                f"{now - sim_start:<16.6e}\n")
 
     # -- main loop -----------------------------------------------------------
     def run(self, iterations=None, write_files=False, chunk=16):
@@ -1189,9 +1323,10 @@ class Solver:
             self.write_output(self.iteration_start)
 
         # chunked scan path: identical arithmetic, one dispatch per chunk.
-        # File-writing runs need the pre-update state for aux output and
-        # debug mode checks state every iteration -> per-step path.
-        if chunk and chunk > 1 and not write_files and not self.debug:
+        # File-writing runs need the pre-update state for aux output ->
+        # per-step path.  Debug mode DOES run chunked (guarded by packed
+        # device-side physicality minima, checked per chunk).
+        if chunk and chunk > 1 and not write_files:
             self._run_chunked(iterations, chunk)
             self.resid_file.close()
             self.time_file.close()

@@ -97,7 +97,9 @@ def main():
             return 1
 
     # device-kernel throughput: steady-state implicit iterations (4 LU-SGS
-    # sweeps each), residual norms computed on device every iteration
+    # sweeps each), residual norms computed on device every iteration.
+    # Median of 3 timed windows with spread — a single window can land on
+    # tunnel/host contention (round-2 verdict: 288 vs 388 minutes apart).
     solver = Solver(deck, workdir=workdir)
     prims, cons_n, cons_nm1 = dict(solver.prims), solver.cons_n, \
         solver.cons_nm1
@@ -109,29 +111,43 @@ def main():
     jax.block_until_ready(out[0])
 
     p = out[0]
-    t0 = time.perf_counter()
-    for _ in range(TIMED):
-        p, l2, linfs, mr, _aux = solver._iterate(p, cons_n, cons_nm1, cfl, 0)
-    jax.block_until_ready(p)
-    dt = time.perf_counter() - t0
-    kernel_ips = TIMED / dt
+    kernel_windows = []
+    for _w in range(3):
+        t0 = time.perf_counter()
+        for _ in range(TIMED):
+            p, l2, linfs, mr, _aux = solver._iterate(p, cons_n, cons_nm1,
+                                                     cfl, 0)
+        jax.block_until_ready(p)
+        kernel_windows.append(TIMED / (time.perf_counter() - t0))
+    kernel_windows.sort()
+    kernel_ips = kernel_windows[1]  # median of 3
 
     # production throughput: the full run() path — store_old_solution,
     # residual decode + .resid/.tme logging, exactly what the reference's
     # .tme timings include (logFileManager.cpp:37-43).  run() executes in
-    # device-side chunks of CHUNK steps; the first chunk carries the scan
-    # compile, so steady state = mean per-step .tme time from the second
-    # chunk on.
+    # device-side chunks; outputs stay on device until the run ends (one
+    # fetch per run), so .tme rows reflect the machine, not the tunnel.
+    # The first chunk carries the scan compile -> steady state = the
+    # per-chunk means from the second chunk on; report their median.
     CHUNK = 24
+    N_CHUNKS = 8
+    size, _tail = Solver._pick_chunk(N_CHUNKS * CHUNK, CHUNK)
     prod = Solver(deck, workdir=workdir)
     sys.stdout = sys.stderr
     try:
-        prod.run(iterations=4 * CHUNK, write_files=False, chunk=CHUNK)
+        prod.run(iterations=N_CHUNKS * CHUNK, write_files=False,
+                 chunk=CHUNK)
     finally:
         sys.stdout = real_stdout
     with open(os.path.join(workdir, "rae2822.tme")) as f:
         rows = [float(ln.split()[1]) for ln in f.readlines()[1:]]
-    prod_ips = 1.0 / (sum(rows[CHUNK:]) / len(rows[CHUNK:]))
+    # one value per steady-state chunk (rows within a chunk are the
+    # chunk average; skip the full compile-laden first chunk)
+    per_chunk = [rows[c] for c in range(size, len(rows), size)]
+    per_chunk.sort()
+    prod_ips = 1.0 / per_chunk[len(per_chunk) // 2]
+    prod_spread = [round(1.0 / per_chunk[-1], 3),
+                   round(1.0 / per_chunk[0], 3)]
 
     # scaling case: the rae2822 C-grid extruded to 48 k-cells (~1.13M
     # cells, full SST RANS + LU-SGS) so the throughput number reflects
@@ -176,18 +192,31 @@ def main():
             "value": round(ips * cells / 1e6, 2), "unit": "Mcell-iters/sec",
             "cells": cells, "iters_per_sec": round(ips, 3)}),
             file=sys.stderr)
+        # roofline accounting (VERDICT r2 #2): XLA's own per-executable
+        # cost model -> achieved fraction of v5e HBM bandwidth / peak
+        # FLOPs at the measured iteration rate
+        try:
+            from tools.roofline import roofline_report
+            print(json.dumps(roofline_report(big, ips)), file=sys.stderr)
+        except Exception as e:
+            print(f"roofline accounting failed: {e!r}"[:200],
+                  file=sys.stderr)
     except Exception as e:  # scaling case must never break the headline
         print(f"3D scaling case failed: {e!r}", file=sys.stderr)
 
     # headline = production path (apples-to-apples with the reference's
-    # .tme-derived baseline); kernel-only number reported alongside
+    # .tme-derived baseline); kernel-only number reported alongside.
+    # Both are medians; [min, max] spread exposes contention samples.
     print(json.dumps({"metric": "rae2822_rans_kernel_iters_per_sec",
                       "value": round(kernel_ips, 3), "unit": "iters/sec",
+                      "spread": [round(kernel_windows[0], 3),
+                                 round(kernel_windows[-1], 3)],
                       "vs_baseline":
                       round(kernel_ips / BASELINE_ITERS_PER_SEC, 2)}),
           file=sys.stderr)
     print(json.dumps({"metric": "rae2822_rans_iters_per_sec",
                       "value": round(prod_ips, 3), "unit": "iters/sec",
+                      "spread": prod_spread,
                       "vs_baseline":
                       round(prod_ips / BASELINE_ITERS_PER_SEC, 2)}))
     return 0
