@@ -2,7 +2,8 @@
 
 Times each jitted phase of Solver._iteration separately with real inputs so
 optimization effort goes where the milliseconds are.  Run on the TPU:
-    python tools/profile_rae2822.py
+    python tools/profile_rae2822.py           # 23k-cell 2-D case
+    python tools/profile_rae2822.py --nk 48   # 1.13M-cell 3-D extrusion
 """
 
 import os
@@ -33,11 +34,22 @@ def main():
     from aither_tpu.solver import step as step_mod
     from aither_tpu.solver import implicit as imp
 
-    ref = "/root/reference/testCases/rae2822"
-    workdir = tempfile.mkdtemp(prefix="aither_prof_")
-    for f in os.listdir(ref):
-        shutil.copy(os.path.join(ref, f), workdir)
-    solver = Solver(os.path.join(workdir, "rae2822.inp"), workdir=workdir)
+    nk = 0
+    if "--nk" in sys.argv:
+        nk = int(sys.argv[sys.argv.index("--nk") + 1])
+    if nk:
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from bench import _extruded_case
+        solver = _extruded_case(nk=nk)
+    else:
+        ref = "/root/reference/testCases/rae2822"
+        workdir = tempfile.mkdtemp(prefix="aither_prof_")
+        for f in os.listdir(ref):
+            shutil.copy(os.path.join(ref, f), workdir)
+        solver = Solver(os.path.join(workdir, "rae2822.inp"),
+                        workdir=workdir)
+    print(f"cells: {solver.case.total_cells}")
     phys, cfg, case = solver.phys, solver.cfg, solver.case
     b = case.blocks[0]
     g = b.g
