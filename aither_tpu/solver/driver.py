@@ -411,20 +411,28 @@ class Solver:
                         inv_f=if_skew, inv_t=it_skew, aux=auxs[b.index]))
                 return out
 
+            # everything except du and the lagged opposite-side term is
+            # invariant across the sweeps — shear/pack it ONCE
+            g_items = [sweep_items(grp) for grp in groups]
+            preps = [imp.prepare_group_sweep(phys, cfg, its)
+                     for its in g_items]
+
             for sweep in range(sweeps):
                 dus = self._swap_level(lvl, dus)
                 with_extra = sweep > 0 or cfg["matrix_init"] or lvl > 0
-                for grp in groups:
-                    res = imp.lusgs_forward_group(phys, cfg,
-                                                  sweep_items(grp),
-                                                  with_extra)
+                for grp, its, prep in zip(groups, g_items, preps):
+                    for it, b in zip(its, grp):
+                        it["du"] = dus[b.index]
+                    res = imp.lusgs_forward_group(phys, cfg, its,
+                                                  with_extra, prep)
                     for b, du in zip(grp, res):
                         dus[b.index] = du
                 dus = self._swap_level(lvl, dus)
-                for grp in groups:
-                    res = imp.lusgs_backward_group(phys, cfg,
-                                                   sweep_items(grp),
-                                                   with_extra)
+                for grp, its, prep in zip(groups, g_items, preps):
+                    for it, b in zip(its, grp):
+                        it["du"] = dus[b.index]
+                    res = imp.lusgs_backward_group(phys, cfg, its,
+                                                   with_extra, prep)
                     for b, du in zip(grp, res):
                         dus[b.index] = du
         elif solver in ("dplur", "bdplur"):

@@ -96,25 +96,46 @@ def pack_static_sweep(cfg, nbr, valid, dtype, side):
     return _arrange(jnp.swapaxes(packed, 2, 3), side, q), offs
 
 
-def pack_dynamic_sweep(phys, cfg, nbr, b_skew, extra_term, du_skew,
-                       inv_flow_skew, inv_turb_skew, dtype):
-    """Per-call sweep inputs (state, rhs, diagonal, update)."""
-    fields = {}
-    for d in "ijk":
-        inp = nbr[d]
-        fields[f"q_{d}"] = (inp["q_nb"], "eqfirst")
-        if cfg.get("viscous", False):
-            for key in ("mu", "mut", "f1"):
-                if inp.get(key) is not None:
-                    fields[f"{key}_{d}"] = (inp[key], "plain")
-    if b_skew is not None:
-        fields["b"] = (b_skew, "eqfirst")
-    if extra_term is not None:
-        fields["extra"] = (extra_term, "eqfirst")
-    fields["du0"] = (du_skew, "eqfirst")
-    fields["inv_f"] = (inv_flow_skew, "plain")
+def pack_invariant_sweep(phys, cfg, slab, b_skew, inv_flow_skew,
+                         inv_turb_skew, dtype, side, q):
+    """Iteration-invariant sweep channels, packed + arranged ONCE per
+    relaxation (implicit.prepare_group_sweep) and reused by all
+    2*matrixSweeps kernel calls.
+
+    The state slab (prim + mu/mut/f1) is stored at the NEIGHBOR plane —
+    P-shifted at pack time — so the kernel derives all three directions'
+    neighbor states from ONE stream via the same in-plane shifts the du
+    carry uses, instead of streaming three sheared copies.  Returns
+    (packed, offs, nbr_sub) where nbr_sub maps slab channel names to
+    (offset, count) WITHIN the "nbr" field."""
+    arr, names, counts = slab
+    # the scalar pallas solver never consumes vgrad (offdiagonal pops it)
+    if "vgrad" in names:
+        assert names[-1] == "vgrad"
+        arr = arr[:sum(counts[:-1])]
+        names, counts = names[:-1], counts[:-1]
+    if side == "lower":      # row t carries the slab at plane t-1
+        arr = jnp.concatenate([arr[:, :1], arr[:, :-1]], axis=1)
+    else:                    # row t carries the slab at plane t+1
+        arr = jnp.concatenate([arr[:, 1:], arr[:, -1:]], axis=1)
+    fields = {"nbr": (arr, "eqfirst"), "b": (b_skew, "eqfirst"),
+              "inv_f": (inv_flow_skew, "plain")}
     if inv_turb_skew is not None:
         fields["inv_t"] = (inv_turb_skew, "plain")
+    packed, offs = _pack(fields, dtype)
+    nbr_sub, pos = {}, 0
+    for nm, c in zip(names, counts):
+        nbr_sub[nm] = (pos, c)
+        pos += c
+    return _arrange(jnp.swapaxes(packed, 2, 3), side, q), offs, nbr_sub
+
+
+def pack_sweep_step(du_skew, extra_term, dtype):
+    """Per-sweep channels (current update + lagged opposite-side term) in
+    RAW (P, C, J2, K2) layout; sweep() arranges them."""
+    fields = {"du0": (du_skew, "eqfirst")}
+    if extra_term is not None:
+        fields["extra"] = (extra_term, "eqfirst")
     return _pack(fields, dtype)
 
 
@@ -144,97 +165,91 @@ def _shift(plane, d, up):
     return jnp.concatenate([lo, hi], axis=ax)
 
 
-def sweep(phys, cfg, packed_s, offs_s, packed_d, offs_d, carry0,
-          forward: bool, with_extra: bool):
+def sweep(phys, cfg, packed_s, offs_s, packed_i, offs_i, nbr_sub,
+          packed_w, offs_w, carry0, q, forward: bool, with_extra: bool):
     """Run one whole LU-SGS sweep as a single pallas_call.
 
-    packed_s: (q-padded P, Cs, K2, J2) static geometry channels, already
-    in processing order (pack_static_sweep); packed_d: (P, Cd, J2, K2)
-    per-call channels; carry0: the boundary plane (neq, J2, K2).
-    Returns the updated planes (P-1, neq, J2, K2) in PROCESSING order
-    (forward: planes 1..P-1; backward: planes P-2..0).  The grid walks
-    q-plane blocks with an unrolled in-kernel recurrence, amortizing the
-    per-step pipeline overhead of the tiny planes."""
+    packed_s: (q-padded P, Cs, K2, J2) static geometry channels and
+    packed_i: (q-padded P, Ci, K2, J2) iteration-invariant channels
+    (neighbor-plane state slab, rhs, diagonal), both already in
+    processing order (prepared once per relaxation); packed_w:
+    (P, Cw, J2, K2) RAW per-sweep channels (du0 [, extra]); carry0: the
+    boundary plane (neq, J2, K2).  Returns the updated planes
+    (P-1, neq, J2, K2) in PROCESSING order (forward: planes 1..P-1;
+    backward: planes P-2..0).  The grid walks q-plane blocks with an
+    unrolled in-kernel recurrence, amortizing the per-step pipeline
+    overhead of the tiny planes.  The three directions' neighbor states
+    come from in-plane shifts of the ONE streamed slab (the du-carry
+    shifts), not three separate streams."""
     from . import implicit as imp
 
-    P, Cd, J2, K2 = packed_d.shape
+    P, Cw, J2, K2 = packed_w.shape
     Cs = packed_s.shape[1]
+    Ci = packed_i.shape[1]
     neq = phys.neq
-    dtype = packed_d.dtype
-    q = plane_chunk(P, Cs, K2, J2, dtype)
+    dtype = packed_w.dtype
     side = "lower" if forward else "upper"
     # transpose so the long plane axis is the TPU lane dimension, then
-    # processing order + q padding (the static operand comes pre-arranged)
-    packed_d = _arrange(jnp.swapaxes(packed_d, 2, 3), side, q)
+    # processing order + q padding (static/invariant come pre-arranged)
+    packed_w = _arrange(jnp.swapaxes(packed_w, 2, 3), side, q)
     carry0 = jnp.swapaxes(carry0, 1, 2)       # (neq, K2, J2)
-    Pq = packed_d.shape[0]
-    assert packed_s.shape[0] == Pq, (packed_s.shape, packed_d.shape)
+    Pq = packed_w.shape[0]
+    assert packed_s.shape[0] == Pq == packed_i.shape[0], (
+        packed_s.shape, packed_i.shape, packed_w.shape)
 
-    def body(chunk_s, chunk_d, prev):
-        def _get(_ignored, offs, name, squeeze=False):
-            if name in offs_d:
-                o, k = offs_d[name]
-                v = chunk_d[o:o + k]
+    def body(chunk_s, chunk_i, chunk_w, prev):
+        def _get(name, squeeze=False):
+            if name in offs_w:
+                o, k = offs_w[name]
+                v = chunk_w[o:o + k]
+            elif name in offs_i:
+                o, k = offs_i[name]
+                v = chunk_i[o:o + k]
             elif name in offs_s:
                 o, k = offs_s[name]
                 v = chunk_s[o:o + k]
             else:
                 return None
             return v[0] if squeeze else v
-        chunk = None
-        offs = None
+        slab = _get("nbr")
+        oq, kq = nbr_sub["q_nb"]
+        acc = 0.0
+        for d in "ijk":
+            du_nb = _shift(prev, d, up=not forward)
+            sh = _shift(slab, d, up=not forward)
+            kw = {}
+            if cfg.get("viscous", False):
+                kw["dist"] = _get(f"dist_{d}", True)
+                for key in ("mu", "mut", "f1"):
+                    kw[key] = (sh[nbr_sub[key][0]] if key in nbr_sub
+                               else None)
+            contrib = imp.offdiagonal(
+                phys, cfg, sh[oq:oq + kq], du_nb, _get(f"n_{d}"),
+                _get(f"mag_{d}", True), forward, **kw)
+            mask = _get(f"mask_{d}", True) > 0.5
+            acc = acc + jnp.where(mask[None], contrib, 0.0)
         if forward:
-            acc = 0.0
-            for d in "ijk":
-                du_nb = _shift(prev, d, up=False)
-                kw = {}
-                if cfg.get("viscous", False):
-                    kw["dist"] = _get(chunk, offs, f"dist_{d}", True)
-                    for key in ("mu", "mut", "f1"):
-                        kw[key] = _get(chunk, offs, f"{key}_{d}", True)
-                contrib = imp.offdiagonal(
-                    phys, cfg, _get(chunk, offs, f"q_{d}"), du_nb,
-                    _get(chunk, offs, f"n_{d}"),
-                    _get(chunk, offs, f"mag_{d}", True), True, **kw)
-                mask = _get(chunk, offs, f"mask_{d}", True) > 0.5
-                acc = acc + jnp.where(mask[None], contrib, 0.0)
-            rhs = _get(chunk, offs, "b") + acc
+            rhs = _get("b") + acc
             if with_extra:
-                rhs = rhs - _get(chunk, offs, "extra")
-            xnew = imp.diag_mult(phys, _get(chunk, offs, "inv_f", True),
-                                 _get(chunk, offs, "inv_t", True), rhs)
+                rhs = rhs - _get("extra")
+            xnew = imp.diag_mult(phys, _get("inv_f", True),
+                                 _get("inv_t", True), rhs)
         else:
-            acc = 0.0
-            for d in "ijk":
-                du_nb = _shift(prev, d, up=True)
-                kw = {}
-                if cfg.get("viscous", False):
-                    kw["dist"] = _get(chunk, offs, f"dist_{d}", True)
-                    for key in ("mu", "mut", "f1"):
-                        kw[key] = _get(chunk, offs, f"{key}_{d}", True)
-                contrib = imp.offdiagonal(
-                    phys, cfg, _get(chunk, offs, f"q_{d}"), du_nb,
-                    _get(chunk, offs, f"n_{d}"),
-                    _get(chunk, offs, f"mag_{d}", True), False, **kw)
-                mask = _get(chunk, offs, f"mask_{d}", True) > 0.5
-                acc = acc + jnp.where(mask[None], contrib, 0.0)
-            ift = _get(chunk, offs, "inv_f", True)
-            itt = _get(chunk, offs, "inv_t", True)
+            ift = _get("inv_f", True)
+            itt = _get("inv_t", True)
             if with_extra:
-                xnew = imp.diag_mult(
-                    phys, ift, itt,
-                    _get(chunk, offs, "b") + _get(chunk, offs, "extra") - acc)
+                xnew = imp.diag_mult(phys, ift, itt,
+                                     _get("b") + _get("extra") - acc)
             else:
-                xnew = _get(chunk, offs, "du0") - imp.diag_mult(phys, ift,
-                                                                itt, acc)
-        vt = _get(chunk, offs, "valid", True) > 0.5
-        return jnp.where(vt[None], xnew, _get(chunk, offs, "du0"))
+                xnew = _get("du0") - imp.diag_mult(phys, ift, itt, acc)
+        vt = _get("valid", True) > 0.5
+        return jnp.where(vt[None], xnew, _get("du0"))
 
-    def kernel(static_ref, packed_ref, carry0_ref, out_ref, carry):
+    def kernel(static_ref, inv_ref, step_ref, carry0_ref, out_ref, carry):
         p = pl.program_id(0)
         prev = jnp.where(p == 0, carry0_ref[...], carry[...])
         for t in range(q):
-            prev = body(static_ref[t], packed_ref[t], prev)
+            prev = body(static_ref[t], inv_ref[t], step_ref[t], prev)
             out_ref[t] = prev
         carry[...] = prev
 
@@ -244,7 +259,8 @@ def sweep(phys, cfg, packed_s, offs_s, packed_d, offs_d, carry0,
         grid=(Pq // q,),
         in_specs=[
             pl.BlockSpec((q, Cs, K2, J2), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((q, Cd, K2, J2), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, Ci, K2, J2), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, Cw, K2, J2), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((neq, K2, J2), lambda p: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -252,7 +268,7 @@ def sweep(phys, cfg, packed_s, offs_s, packed_d, offs_d, carry0,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Pq, neq, K2, J2), dtype),
         scratch_shapes=[pltpu.VMEM((neq, K2, J2), dtype)],
-    )(packed_s, packed_d, carry0)
+    )(packed_s, packed_i, packed_w, carry0)
     return jnp.swapaxes(out[:P - 1], 2, 3)
 
 
