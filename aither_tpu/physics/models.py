@@ -27,11 +27,6 @@ from . import chemistry as _chem
 from .fluid import Fluid
 
 
-def _bshape(arr_ndim):
-    """broadcast shape for per-species constants against (ns, ...) arrays"""
-    return (-1,) + (1,) * (arr_ndim - 1)
-
-
 def _mole_fractions_py(molar_mass, mf):
     moles = [m / mm for m, mm in zip(mf, molar_mass)]
     tot = sum(moles)
@@ -177,31 +172,42 @@ class Physics:
         )
 
     # ---- per-species constant arrays (numpy; become jit constants) ----------
-    def _c(self, vals, ndim):
-        arr = np.asarray(vals, dtype=np.float64)
-        if arr.size == 1:
-            # scalar constants fold into compiled code (and keep Pallas
-            # kernels free of captured array constants)
-            return float(arr.reshape(-1)[0])
-        return arr.reshape(_bshape(ndim))
+    # NOTE: per-species math below unrolls over species with PYTHON FLOAT
+    # constants (stack/sum of scalar-scaled slices) instead of broadcasting
+    # an (ns,1,..) constant array: array constants captured in a Pallas
+    # kernel body are rejected by Mosaic ("pass them as inputs"), while
+    # scalar literals inline fine — and XLA constant-folds both forms
+    # identically outside kernels.
+    def _sum_species(self, coeffs, arr):
+        """sum_i coeffs[i] * arr[i] with scalar-literal coefficients."""
+        out = 0.0
+        for i in range(self.ns):
+            out = out + float(coeffs[i]) * arr[i]
+        return out
+
+    def _stack_species(self, fn):
+        """(ns, ...) array from a per-species scalar-literal closure."""
+        return jnp.stack([fn(i) for i in range(self.ns)])
 
     # ---- thermodynamics ------------------------------------------------------
     def species_cv(self, t):
         """cv per species at temperature t: (ns, *t.shape)."""
-        R = self._c(self.R, t.ndim + 1)
-        n = self._c(self.n, t.ndim + 1)
-        cv = R * n * jnp.ones_like(t)[None]
+        ones = jnp.ones_like(t)
         if self.thermo_model == "thermallyPerfect":
-            cv = cv + R * self._vib_cpcv(t)
-        return cv
+            vib = self._vib_cpcv(t)
+            return self._stack_species(
+                lambda i: self.R[i] * self.n[i] * ones + self.R[i] * vib[i])
+        return self._stack_species(lambda i: self.R[i] * self.n[i] * ones)
 
     def species_cp(self, t):
-        R = self._c(self.R, t.ndim + 1)
-        n = self._c(self.n, t.ndim + 1)
-        cp = R * (n + 1.0) * jnp.ones_like(t)[None]
+        ones = jnp.ones_like(t)
         if self.thermo_model == "thermallyPerfect":
-            cp = cp + R * self._vib_cpcv(t)
-        return cp
+            vib = self._vib_cpcv(t)
+            return self._stack_species(
+                lambda i: self.R[i] * (self.n[i] + 1.0) * ones
+                + self.R[i] * vib[i])
+        return self._stack_species(
+            lambda i: self.R[i] * (self.n[i] + 1.0) * ones)
 
     def _vib_cpcv(self, t):
         """sum over vib modes of (tv/sinh(tv))^2, tv = theta/(2T)
@@ -229,23 +235,23 @@ class Physics:
     def species_energy(self, t):
         """specific internal energy per species (thermodynamic.hpp:102-104,
         163-166)."""
-        hf = self._c(self.hf, t.ndim + 1)
-        e = hf + self.species_cv(t) * t[None]
         if self.thermo_model == "thermallyPerfect":
-            # note cv here must be the cpg part only; fix up
-            R = self._c(self.R, t.ndim + 1)
-            n = self._c(self.n, t.ndim + 1)
-            e = hf + R * n * t[None] + R * self._vib_energy(t)
-        return e
+            # note cv here must be the cpg part only
+            vib = self._vib_energy(t)
+            return self._stack_species(
+                lambda i: self.hf[i] + self.R[i] * self.n[i] * t
+                + self.R[i] * vib[i])
+        cv = self.species_cv(t)
+        return self._stack_species(lambda i: self.hf[i] + cv[i] * t)
 
     def species_enthalpy(self, t):
-        hf = self._c(self.hf, t.ndim + 1)
-        R = self._c(self.R, t.ndim + 1)
-        n = self._c(self.n, t.ndim + 1)
-        h = hf + R * (n + 1.0) * t[None]
         if self.thermo_model == "thermallyPerfect":
-            h = h + R * self._vib_energy(t)
-        return h
+            vib = self._vib_energy(t)
+            return self._stack_species(
+                lambda i: self.hf[i] + self.R[i] * (self.n[i] + 1.0) * t
+                + self.R[i] * vib[i])
+        return self._stack_species(
+            lambda i: self.hf[i] + self.R[i] * (self.n[i] + 1.0) * t)
 
     def mix(self, per_species, mf):
         return (per_species * mf).sum(axis=0)
@@ -257,9 +263,10 @@ class Physics:
     def temperature_from_energy(self, e, mf):
         """Invert e(T, mf) for T (reference: thermodynamic.cpp:101-131)."""
         if self.thermo_model == "caloricallyPerfect":
-            hf = self._c(self.hf, mf.ndim)
-            cv = self._c([r * n for r, n in zip(self.R, self.n)], mf.ndim)
-            return (e - (hf * mf).sum(0)) / ((cv * mf).sum(0))
+            hf_mix = self._sum_species(self.hf, mf)
+            cv_mix = self._sum_species(
+                [r * n for r, n in zip(self.R, self.n)], mf)
+            return (e - hf_mix) / cv_mix
         # thermally perfect: Ridder's method on [1e-8, 1e4] at tol 1e-8,
         # T = the final evaluation point, exactly as the reference
         # (thermodynamic.cpp:132-141, utility.hpp:130-184).  Matching the
@@ -308,16 +315,13 @@ class Physics:
     # ---- equation of state (ideal gas) --------------------------------------
     def temperature(self, p, rho_s):
         """T = p / sum(rho_s R_s)  (reference: eos.cpp:96-105)."""
-        R = self._c(self.R, rho_s.ndim)
-        return p / (rho_s * R).sum(axis=0)
+        return p / self._sum_species(self.R, rho_s)
 
     def pressure_rt(self, rho_s, t):
-        R = self._c(self.R, rho_s.ndim)
-        return (rho_s * R).sum(axis=0) * t
+        return self._sum_species(self.R, rho_s) * t
 
     def density_tp(self, t, p, mf):
-        R = self._c(self.R, mf.ndim)
-        return p / ((mf * R).sum(axis=0) * t)
+        return p / (self._sum_species(self.R, mf) * t)
 
     def sos(self, p, rho_s):
         """speed of sound = sqrt(gamma p / rho) (reference: eos.cpp:82-94)."""
@@ -330,22 +334,22 @@ class Physics:
     def species_viscosity(self, t):
         """nondim Sutherland viscosity per species: mu(T*tRef)/muMixRef
         (reference: transport.cpp:103-109)."""
-        c1 = self._c(self.visc_c1, t.ndim + 1)
-        s = self._c(self.visc_s, t.ndim + 1)
-        td = t[None] * self.t_ref
-        return (c1 * td ** 1.5 / (td + s)) / self.mu_mix_ref
+        td = t * self.t_ref
+        return self._stack_species(
+            lambda i: (self.visc_c1[i] * td ** 1.5
+                       / (td + self.visc_s[i])) / self.mu_mix_ref)
 
     def species_conductivity(self, t):
         """nondim conductivity: k(T*tRef)/(aRef^2 muMixRef / tRef)
         (reference: transport.cpp:111-117)."""
-        c1 = self._c(self.cond_c1, t.ndim + 1)
-        s = self._c(self.cond_s, t.ndim + 1)
-        td = t[None] * self.t_ref
-        return (c1 * td ** 1.5 / (td + s)) / self.k_nondim
+        td = t * self.t_ref
+        return self._stack_species(
+            lambda i: (self.cond_c1[i] * td ** 1.5
+                       / (td + self.cond_s[i])) / self.k_nondim)
 
     def mole_fractions(self, mf):
-        mm = self._c(self.molar_mass, mf.ndim)
-        moles = mf / mm
+        moles = self._stack_species(
+            lambda i: mf[i] / self.molar_mass[i])
         return moles / moles.sum(axis=0)
 
     def viscosity(self, t, mf):

@@ -24,10 +24,24 @@ def _assemble(rows):
     return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
 
 
-def inv_flux_jacobian(phys: Physics, q, n, mag):
-    """0.5*|A| * dF/dU at the given state (reference:
-    fluxJacobian.hpp:484-580).  q: (neq, ...), n: (3, ...), mag: (...).
-    Returns (..., N, N)."""
+def rows_matvec(rows, x, scale=None):
+    """Apply an N x N Jacobian held as a list-of-lists of (...)-shaped
+    entries to x: (N, ...) -> (N, ...).  This is the channel-first form
+    the Pallas sweep kernels consume (no trailing (N, N) axes — Mosaic
+    wants the long plane axes last); the sum unrolls onto the VPU."""
+    out = []
+    for r in rows:
+        acc = 0.0
+        for j, e in enumerate(r):
+            acc = acc + e * x[j]
+        out.append(acc if scale is None else acc * scale)
+    return jnp.stack(out)
+
+
+def _inv_flux_rows(phys: Physics, q, n, mag):
+    """Rows of 0.5*|A| * dF/dU (shared by the assembled and channel-first
+    paths; reference: fluxJacobian.hpp:484-580).  The 0.5*mag factor is
+    folded into the entries."""
     ns = phys.ns
     N = ns + 4
     t = st.temperature(phys, q)
@@ -79,7 +93,15 @@ def inv_flux_jacobian(phys: Physics, q, n, mag):
     rows[ns + 2][ns + 3] = gm1 * nz * jnp.ones_like(vn)
     rows[ns + 3][ns + 3] = gamma * vn
 
-    return 0.5 * mag[..., None, None] * _assemble(rows)
+    half_mag = 0.5 * mag
+    return [[e * half_mag for e in r] for r in rows]
+
+
+def inv_flux_jacobian(phys: Physics, q, n, mag):
+    """0.5*|A| * dF/dU at the given state (reference:
+    fluxJacobian.hpp:484-580).  q: (neq, ...), n: (3, ...), mag: (...).
+    Returns (..., N, N)."""
+    return _assemble(_inv_flux_rows(phys, q, n, mag))
 
 
 def rusanov_flux_jacobian(phys: Physics, q, n, mag, positive: bool):
@@ -103,8 +125,29 @@ def rusanov_flux_jacobian(phys: Physics, q, n, mag, positive: bool):
     return flow, turb
 
 
-def del_prim_del_cons(phys: Physics, q):
-    """d(primitive)/d(conservative) (reference: fluxJacobian.hpp:612-662)."""
+def rusanov_offdiag_matvec(phys: Physics, q, n, mag, positive: bool, du):
+    """Channel-first 0.5|A|(dF/dU ± specRad*I)·du (flow) and
+    0.5|A|(vn ± |vn|)·du (turb) — the same math as
+    rusanov_flux_jacobian + block_matvec without trailing (N, N) axes,
+    consumable inside Pallas kernels.  du: (neq, ...)."""
+    rows = _inv_flux_rows(phys, q, n, mag)
+    yf = rows_matvec(rows, du[:phys.ns + 4])
+    vel = st.velocity(phys, q)
+    vn = (vel * n).sum(axis=0)
+    spec = 0.5 * mag * (jnp.abs(vn) + st.sos(phys, q))
+    yf = yf + spec[None] * du[:phys.ns + 4] if positive \
+        else yf - spec[None] * du[:phys.ns + 4]
+    if not phys.nturb:
+        return yf
+    conv = 0.5 * vn * mag
+    dissp = 0.5 * jnp.abs(vn) * mag
+    diag = conv + dissp if positive else conv - dissp
+    return jnp.concatenate([yf, diag[None] * du[phys.it:]], axis=0)
+
+
+def _del_prim_del_cons_rows(phys: Physics, q):
+    """Rows of d(primitive)/d(conservative)
+    (reference: fluxJacobian.hpp:612-662)."""
     ns = phys.ns
     N = ns + 4
     t = st.temperature(phys, q)
@@ -132,14 +175,19 @@ def del_prim_del_cons(phys: Physics, q):
     rows[ns + 2][ns + 2] = inv_rho
     rows[ns + 3][ns + 2] = -gm1 * w
     rows[ns + 3][ns + 3] = gm1 * one
-    return _assemble(rows)
+    return rows
 
 
-def approx_tsl_jacobian(phys: Physics, cfg, q, mu, mut, f1, n, mag, dist,
-                        vgrad, left: bool):
-    """Approximate thin-shear-layer viscous Jacobian (after Dwight)
-    (reference: fluxJacobian.hpp:665-760), including the
-    primitive->conservative change of variables.  Returns (flow, turb)."""
+def del_prim_del_cons(phys: Physics, q):
+    """d(primitive)/d(conservative) (reference: fluxJacobian.hpp:612-662)."""
+    return _assemble(_del_prim_del_cons_rows(phys, q))
+
+
+def _tsl_rows(phys: Physics, cfg, q, mu, mut, f1, n, mag, dist, vgrad,
+              left: bool):
+    """Rows of the TSL viscous Jacobian in PRIMITIVE variables, its
+    mag*mu_tot/dist scale factor, and the (d0, d1) turb diagonal —
+    shared by the assembled and channel-first paths."""
     from .viscous import tau_normal, sigma_k, sigma_w, turb_prandtl
     ns = phys.ns
     N = ns + 4
@@ -196,10 +244,8 @@ def approx_tsl_jacobian(phys: Physics, cfg, q, mu, mut, f1, n, mag, dist,
                             + third * nz * vn + w)
     rows[ns + 3][ns + 3] = (k + kt) / (mu_tot * rho)
 
-    flow = _assemble(rows) * (mag * mu_tot / dist)[..., None, None]
-    flow = jnp.einsum("...ab,...bc->...ac", flow, del_prim_del_cons(phys, q))
-
-    turb = None
+    scale = mag * mu_tot / dist
+    d0 = d1 = None
     if phys.nturb:
         model = cfg["turb_model"]
         length = scaling * mag / dist / rho
@@ -210,9 +256,40 @@ def approx_tsl_jacobian(phys: Physics, cfg, q, mu, mut, f1, n, mag, dist,
         else:
             d0 = length * (mu + sigma_k(model, f1) * mut)
             d1 = length * (mu + sigma_w(model, f1) * mut)
+    return rows, scale, (d0, d1, fac)
+
+
+def approx_tsl_jacobian(phys: Physics, cfg, q, mu, mut, f1, n, mag, dist,
+                        vgrad, left: bool):
+    """Approximate thin-shear-layer viscous Jacobian (after Dwight)
+    (reference: fluxJacobian.hpp:665-760), including the
+    primitive->conservative change of variables.  Returns (flow, turb)."""
+    rows, scale, (d0, d1, fac) = _tsl_rows(phys, cfg, q, mu, mut, f1, n,
+                                           mag, dist, vgrad, left)
+    flow = _assemble(rows) * scale[..., None, None]
+    flow = jnp.einsum("...ab,...bc->...ac", flow, del_prim_del_cons(phys, q))
+    turb = None
+    if phys.nturb:
         z = jnp.zeros_like(d0)
         turb = fac * _assemble([[d0, z], [z, d1]])
     return flow, turb
+
+
+def tsl_offdiag_matvec(phys: Physics, cfg, q, mu, mut, f1, n, mag, dist,
+                       vgrad, left: bool, du):
+    """Channel-first TSL viscous Jacobian applied to du: computes
+    scale * Rows·(dPrim/dCons·du) as two unrolled matvecs instead of a
+    matrix-matrix einsum (Pallas-kernel form; identical math to
+    approx_tsl_jacobian + block_matvec).  Returns (flow_y, turb_y)."""
+    rows, scale, (d0, d1, fac) = _tsl_rows(phys, cfg, q, mu, mut, f1, n,
+                                           mag, dist, vgrad, left)
+    N = phys.ns + 4
+    dp = rows_matvec(_del_prim_del_cons_rows(phys, q), du[:N])
+    yf = rows_matvec(rows, dp, scale=scale)
+    yt = None
+    if phys.nturb:
+        yt = fac * jnp.stack([d0 * du[phys.it], d1 * du[phys.it + 1]])
+    return yf, yt
 
 
 def turb_src_jacobian(phys: Physics, cfg, q, vol, beta, phi=1.0):

@@ -140,7 +140,7 @@ class Solver:
                         jnp.asarray, ctx._static_nbr)
                 for grp in self._sweep_groups(lvl):
                     ctxs = [self.mg_ictx[lvl][b.index] for b in grp]
-                    imp.prepack_group_static(self.cfg, grp, ctxs,
+                    imp.prepack_group_static(self.phys, self.cfg, grp, ctxs,
                                              self.case.dtype)
                 for b in c.blocks:
                     ctx = self.mg_ictx[lvl][b.index]

@@ -124,6 +124,36 @@ def offdiagonal(phys: Physics, cfg, q_nb, du_nb, n, mag, positive, **kw):
     return offdiagonal_scalar(phys, cfg, q_nb, du_nb, n, mag, positive, **kw)
 
 
+def offdiagonal_block_channels(phys: Physics, cfg, q_nb, du_nb, n, mag,
+                               positive, dist=None, mu=None, mut=None,
+                               f1=None, vgrad=None):
+    """Channel-first block off-diagonal — same math as offdiagonal_block
+    (rusanov ∓ TSL, then ·du) expressed as unrolled row matvecs with the
+    plane axes last, the form the Pallas sweep kernel consumes."""
+    from . import block_jac as bj
+    y = bj.rusanov_offdiag_matvec(phys, q_nb, n, mag, positive, du_nb)
+    if cfg.get("viscous"):
+        vf, vt = bj.tsl_offdiag_matvec(phys, cfg, q_nb, mu, mut, f1, n,
+                                       mag, dist, vgrad, left=positive,
+                                       du=du_nb)
+        s = -1.0 if positive else 1.0
+        parts = [y[:phys.ns + 4] + s * vf]
+        if phys.nturb:
+            parts.append(y[phys.it:] + s * vt)
+        y = jnp.concatenate(parts, axis=0)
+    return y
+
+
+def offdiagonal_channels(phys: Physics, cfg, q_nb, du_nb, n, mag, positive,
+                         **kw):
+    """Dispatch used inside the Pallas sweep kernel body."""
+    if cfg.get("block_matrix"):
+        return offdiagonal_block_channels(phys, cfg, q_nb, du_nb, n, mag,
+                                          positive, **kw)
+    kw.pop("vgrad", None)
+    return offdiagonal_scalar(phys, cfg, q_nb, du_nb, n, mag, positive, **kw)
+
+
 # ---------------------------------------------------------------------------
 # static per-block implicit context
 
@@ -439,6 +469,22 @@ def diag_mult(phys: Physics, inv_flow, inv_turb, x):
     return out
 
 
+def diag_mult_channels(phys: Physics, inv_flow_ch, inv_turb_ch, x):
+    """Block diag_mult with the inverted blocks streamed as channels:
+    inv_flow_ch (N*N, ...) row-major, inv_turb_ch (4, ...) — the Pallas
+    kernel form (no trailing matrix axes)."""
+    N = phys.ns + 4
+    yf = [sum(inv_flow_ch[i * N + j] * x[j] for j in range(N))
+          for i in range(N)]
+    out = jnp.stack(yf)
+    if phys.nturb and inv_turb_ch is not None:
+        yt = jnp.stack(
+            [inv_turb_ch[0] * x[phys.it] + inv_turb_ch[1] * x[phys.it + 1],
+             inv_turb_ch[2] * x[phys.it] + inv_turb_ch[3] * x[phys.it + 1]])
+        out = jnp.concatenate([out, yt], axis=0)
+    return out
+
+
 def build_block_diagonal(phys: Physics, block, cfg, diag_flow_blk,
                          diag_turb_blk, sr_max, dt):
     """Block A = relax*accumulated + ((1+ζ)V/(dtθ) [+ sr/dualCFL])·I, then
@@ -665,7 +711,7 @@ def _group_key(cfg, items, side, dtype):
             tuple(it["block"].index for it in items))
 
 
-def prepack_group_static(cfg, blocks, ctxs, dtype):
+def prepack_group_static(phys, cfg, blocks, ctxs, dtype):
     """Build + cache the packed static pallas-sweep operand for a
     same-shape block group.  Runs at init with concrete device arrays so
     the per-call path never relayouts geometry (the packed array is then
@@ -681,12 +727,14 @@ def prepack_group_static(cfg, blocks, ctxs, dtype):
                    for k2 in statics[0][d]} for d in "ijk"}
         key = (side, viscous, np.dtype(dtype).name,
                tuple(b.index for b in blocks))
-        packed, offs = ps.pack_static_sweep(cfg, nbr, valid, dtype, side)
-        ctx0._static_packed[key] = packed
-        ctx0._static_offs[key] = offs
+        packed, offs = ps.pack_static_sweep(phys, cfg, nbr, valid, dtype,
+                                            side)
+        if packed is not None:      # None = plane too large for the kernel
+            ctx0._static_packed[key] = packed
+            ctx0._static_offs[key] = offs
 
 
-def _group_static_packed(cfg, items, side, nbr_stacked, valid, dtype):
+def _group_static_packed(phys, cfg, items, side, nbr_stacked, valid, dtype):
     """Prepacked static operand if the driver prepared one; otherwise
     pack inline (constants fold when geometry is closed over)."""
     from . import pallas_sweep as ps
@@ -694,7 +742,7 @@ def _group_static_packed(cfg, items, side, nbr_stacked, valid, dtype):
     key = _group_key(cfg, items, side, dtype)
     if key in ctx0._static_offs:
         return ctx0._static_packed[key], ctx0._static_offs[key]
-    return ps.pack_static_sweep(cfg, nbr_stacked, valid, dtype, side)
+    return ps.pack_static_sweep(phys, cfg, nbr_stacked, valid, dtype, side)
 
 
 def prepare_group_sweep(phys: Physics, cfg, items, sides=("lower", "upper")):
@@ -722,16 +770,25 @@ def prepare_group_sweep(phys: Physics, cfg, items, sides=("lower", "upper")):
                                it["prim"], it["aux"]) for it in items]
     prep["slab"] = (_cat_k([s[0] for s in slabs]), slabs[0][1], slabs[0][2])
     from . import pallas_sweep as ps
-    prep["pallas"] = ps.use_pallas(cfg, dtype, phys.ns)
+    prep["pallas"] = ps.use_pallas(cfg, dtype, phys)
     for side in sides:
         geom = _group_static_geom(cfg, items, side, dtype)
         prep[side] = geom
         if prep["pallas"]:
-            packed_s, offs_s = _group_static_packed(cfg, items, side, geom,
-                                                    prep["valid"], dtype)
-            q = ps.plane_chunk(prep["P"], packed_s.shape[1],
+            q = ps.plane_chunk(prep["P"], ps.stream_channels(phys, cfg),
                                prep["valid"].shape[-1],
-                               prep["valid"].shape[-2], dtype)
+                               prep["valid"].shape[-2], dtype,
+                               block_matrix=blk)
+            if q == 0 and not cfg.get("pallas_interpret"):
+                # plane too large for the kernel's VMEM stack — the scan
+                # path amortizes fine at this size (per-plane compute is
+                # no longer dispatch-bound)
+                prep["pallas"] = False
+                continue
+            q = max(q, 1)
+            packed_s, offs_s = _group_static_packed(phys, cfg, items, side,
+                                                    geom, prep["valid"],
+                                                    dtype)
             packed_i, offs_i, nbr_sub = ps.pack_invariant_sweep(
                 phys, cfg, prep["slab"], prep["b"], prep["inv_f"],
                 prep["inv_t"], dtype, side, q)

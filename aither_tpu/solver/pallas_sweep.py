@@ -45,19 +45,48 @@ def _pack(fields, dtype):
     return jnp.concatenate(parts, axis=1), offs
 
 
-def plane_chunk(P, C, K2, J2, dtype):
+def stream_channels(phys, cfg):
+    """Total streamed channels per plane across the three operands —
+    computable identically at init-time prepack and at sweep time, so
+    both agree on the q-plane block size."""
+    neq, N = phys.neq, phys.ns + 4
+    viscous = bool(cfg.get("viscous", False))
+    blk = bool(cfg.get("block_matrix", False))
+    turb = phys.nturb > 0
+    slab = neq + (1 if viscous else 0) + (2 if viscous and turb else 0) \
+        + (9 if viscous and blk else 0)
+    inv = (N * N if blk else 1) + ((4 if blk else 1) if turb else 0)
+    per_dir = 5 + (1 if viscous else 0)
+    static = 3 * per_dir + 1
+    work = 2 * neq
+    return slab + neq + inv + static + work
+
+
+def plane_chunk(P, C, K2, J2, dtype, block_matrix=False):
     """Planes per grid step: amortize the per-step pipeline overhead of
     the wavefront (each plane's compute is tiny) while keeping the
     double-buffered operand blocks comfortably inside VMEM."""
-    # C here is the STATIC channel count (the only one both the init-time
-    # prepack and the sweep call can agree on).  Multi-plane blocks pay
-    # off when planes are tiny (per-step pipeline overhead dominates);
-    # for big planes the per-plane compute already covers the overhead
-    # and the q-times-larger unrolled kernel only strains the compiler.
+    # C is the TOTAL streamed channel count (stream_channels — the only
+    # number both the init-time prepack and the sweep call can agree on).
+    # Multi-plane blocks pay off when planes are tiny (per-step pipeline
+    # overhead dominates); for big planes the per-plane compute already
+    # covers the overhead and the q-times-larger unrolled kernel only
+    # strains the compiler.
     import numpy as np
-    bytes_per_plane = C * K2 * J2 * np.dtype(dtype).itemsize
+    itemsize = np.dtype(dtype).itemsize
+    bytes_per_plane = C * K2 * J2 * itemsize
+    # Mosaic allocates the body's temporaries on the VMEM stack (~16M
+    # scoped limit); the unrolled off-diagonal math costs ~400 (scalar) /
+    # ~2600 (block N*N matvecs + TSL rows) channel-equivalents per plane
+    # step (measured: scalar 18.8M at q=1 on a 13.5k-point plane; block
+    # 16.4M at q=8 on a 208-point plane).
+    temp_ch = 2600 if block_matrix else 400
+    est = temp_ch * K2 * J2 * itemsize
+    if est > 12 * 1024 * 1024:
+        return 0        # plane too large for the kernel — use the scan path
     q = 8
-    while q > 1 and q * bytes_per_plane > 128 * 1024:
+    while q > 1 and (q * bytes_per_plane > 512 * 1024
+                     or q * est > 8 * 1024 * 1024):
         q //= 2
     return q
 
@@ -75,7 +104,7 @@ def _arrange(packed, side, q):
     return arr
 
 
-def pack_static_sweep(cfg, nbr, valid, dtype, side):
+def pack_static_sweep(phys, cfg, nbr, valid, dtype, side):
     """Per-sweep-side face geometry / mask channels — constant per case,
     packed ONCE (driver prepacks at init so no per-call relayout) and fed
     to the kernel as a separate operand, pre-transposed to the kernel's
@@ -92,7 +121,13 @@ def pack_static_sweep(cfg, nbr, valid, dtype, side):
     fields["valid"] = (jnp.asarray(valid).astype(dtype), "plain")
     packed, offs = _pack(fields, dtype)
     P, Cs, J2, K2 = packed.shape
-    q = plane_chunk(P, Cs, K2, J2, dtype)
+    q = plane_chunk(P, stream_channels(phys, cfg), K2, J2, dtype,
+                    block_matrix=bool(cfg.get("block_matrix", False)))
+    if q == 0:
+        if cfg.get("pallas_interpret"):
+            q = 1                # interpreter has no VMEM limits
+        else:
+            return None, None    # plane too large — scan path only
     return _arrange(jnp.swapaxes(packed, 2, 3), side, q), offs
 
 
@@ -109,8 +144,10 @@ def pack_invariant_sweep(phys, cfg, slab, b_skew, inv_flow_skew,
     (packed, offs, nbr_sub) where nbr_sub maps slab channel names to
     (offset, count) WITHIN the "nbr" field."""
     arr, names, counts = slab
-    # the scalar pallas solver never consumes vgrad (offdiagonal pops it)
-    if "vgrad" in names:
+    blk = bool(cfg.get("block_matrix", False))
+    # the scalar solver never consumes vgrad (offdiagonal pops it); the
+    # block solver's TSL Jacobian does
+    if "vgrad" in names and not blk:
         assert names[-1] == "vgrad"
         arr = arr[:sum(counts[:-1])]
         names, counts = names[:-1], counts[:-1]
@@ -118,16 +155,29 @@ def pack_invariant_sweep(phys, cfg, slab, b_skew, inv_flow_skew,
         arr = jnp.concatenate([arr[:, :1], arr[:, :-1]], axis=1)
     else:                    # row t carries the slab at plane t+1
         arr = jnp.concatenate([arr[:, 1:], arr[:, -1:]], axis=1)
-    fields = {"nbr": (arr, "eqfirst"), "b": (b_skew, "eqfirst"),
-              "inv_f": (inv_flow_skew, "plain")}
-    if inv_turb_skew is not None:
-        fields["inv_t"] = (inv_turb_skew, "plain")
+    fields = {"nbr": (arr, "eqfirst"), "b": (b_skew, "eqfirst")}
+    if blk:
+        # (P, J2, K2, N, N) block inverses -> N*N leading channels
+        fields["inv_f"] = (_blk_to_channels(inv_flow_skew), "eqfirst")
+        if inv_turb_skew is not None:
+            fields["inv_t"] = (_blk_to_channels(inv_turb_skew), "eqfirst")
+    else:
+        fields["inv_f"] = (inv_flow_skew, "plain")
+        if inv_turb_skew is not None:
+            fields["inv_t"] = (inv_turb_skew, "plain")
     packed, offs = _pack(fields, dtype)
     nbr_sub, pos = {}, 0
     for nm, c in zip(names, counts):
         nbr_sub[nm] = (pos, c)
         pos += c
     return _arrange(jnp.swapaxes(packed, 2, 3), side, q), offs, nbr_sub
+
+
+def _blk_to_channels(mat_skew):
+    """(P, J2, K2, N, M) skewed block matrices -> (N*M, P, J2, K2)
+    row-major channels (the kernel's diag_mult_channels layout)."""
+    P, J2, K2, N, M = mat_skew.shape
+    return jnp.moveaxis(mat_skew.reshape(P, J2, K2, N * M), -1, 0)
 
 
 def pack_sweep_step(du_skew, extra_term, dtype):
@@ -213,6 +263,7 @@ def sweep(phys, cfg, packed_s, offs_s, packed_i, offs_i, nbr_sub,
             return v[0] if squeeze else v
         slab = _get("nbr")
         oq, kq = nbr_sub["q_nb"]
+        blk = bool(cfg.get("block_matrix", False))
         acc = 0.0
         for d in "ijk":
             du_nb = _shift(prev, d, up=not forward)
@@ -223,25 +274,33 @@ def sweep(phys, cfg, packed_s, offs_s, packed_i, offs_i, nbr_sub,
                 for key in ("mu", "mut", "f1"):
                     kw[key] = (sh[nbr_sub[key][0]] if key in nbr_sub
                                else None)
-            contrib = imp.offdiagonal(
+                if blk and "vgrad" in nbr_sub:
+                    ov, kv = nbr_sub["vgrad"]
+                    kw["vgrad"] = sh[ov:ov + kv].reshape(
+                        (3, 3) + sh.shape[1:])
+            contrib = imp.offdiagonal_channels(
                 phys, cfg, sh[oq:oq + kq], du_nb, _get(f"n_{d}"),
                 _get(f"mag_{d}", True), forward, **kw)
             mask = _get(f"mask_{d}", True) > 0.5
             acc = acc + jnp.where(mask[None], contrib, 0.0)
+
+        def dmul(x):
+            if blk:
+                return imp.diag_mult_channels(phys, _get("inv_f"),
+                                              _get("inv_t"), x)
+            return imp.diag_mult(phys, _get("inv_f", True),
+                                 _get("inv_t", True), x)
+
         if forward:
             rhs = _get("b") + acc
             if with_extra:
                 rhs = rhs - _get("extra")
-            xnew = imp.diag_mult(phys, _get("inv_f", True),
-                                 _get("inv_t", True), rhs)
+            xnew = dmul(rhs)
         else:
-            ift = _get("inv_f", True)
-            itt = _get("inv_t", True)
             if with_extra:
-                xnew = imp.diag_mult(phys, ift, itt,
-                                     _get("b") + _get("extra") - acc)
+                xnew = dmul(_get("b") + _get("extra") - acc)
             else:
-                xnew = _get("du0") - imp.diag_mult(phys, ift, itt, acc)
+                xnew = _get("du0") - dmul(acc)
         vt = _get("valid", True) > 0.5
         return jnp.where(vt[None], xnew, _get("du0"))
 
@@ -268,16 +327,24 @@ def sweep(phys, cfg, packed_s, offs_s, packed_i, offs_i, nbr_sub,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Pq, neq, K2, J2), dtype),
         scratch_shapes=[pltpu.VMEM((neq, K2, J2), dtype)],
+        interpret=bool(cfg.get("pallas_interpret", False)),
     )(packed_s, packed_i, packed_w, carry0)
     return jnp.swapaxes(out[:P - 1], 2, 3)
 
 
-def use_pallas(cfg, dtype, ns=1) -> bool:
-    """Pallas sweeps: scalar solver, single species, float32, TPU backend
-    (multi-species physics still closes over per-species constant arrays,
-    which Pallas cannot capture)."""
-    if cfg.get("no_pallas") or cfg.get("block_matrix") or ns != 1:
+def use_pallas(cfg, dtype, phys=None) -> bool:
+    """Pallas sweeps run for both the scalar (lusgs) and block-matrix
+    (blusgs) solvers, any species count, in float32 on the TPU backend.
+    thermallyPerfect is excluded: its temperature inversion is a Ridder
+    while_loop per point (models.py:263-306), unprofitable in-kernel.
+    ``cfg["pallas_interpret"]`` forces the kernel path in interpreter
+    mode (CPU parity tests)."""
+    if cfg.get("no_pallas"):
         return False
+    if phys is not None and phys.thermo_model == "thermallyPerfect":
+        return False
+    if cfg.get("pallas_interpret"):
+        return True        # interpreter runs any dtype (CPU parity tests)
     if dtype != jnp.float32:
         return False
     try:

@@ -70,6 +70,55 @@ def _normalize(idx, shape):
     return out
 
 
+def _select_region(arr, idx, value):
+    """``arr.at[idx].set(value)`` as a fusable select: the value is
+    lax.pad-ded to full shape and merged under a mask built as the AND of
+    per-dimension 1-D indicator constants (an outer product — no full-
+    shape mask constant is ever materialized)."""
+    if not isinstance(idx, tuple):
+        idx = (idx,)
+    norm = _normalize(idx, arr.shape)
+    region = tuple(hi - lo for lo, hi, _ in norm)
+    val = jnp.asarray(value, arr.dtype)
+    for d, (lo, hi, is_sc) in enumerate(norm):
+        if is_sc and val.ndim < len(norm):
+            val = jnp.expand_dims(val, d)
+    val = jnp.broadcast_to(val, region)
+    pads = [(lo, arr.shape[d] - hi, 0) for d, (lo, hi, _) in enumerate(norm)]
+    full = lax.pad(val, jnp.zeros((), arr.dtype), pads)
+    mask = None
+    for d, (lo, hi, _) in enumerate(norm):
+        if lo == 0 and hi == arr.shape[d]:
+            continue
+        m1 = np.zeros(arr.shape[d], bool)
+        m1[lo:hi] = True
+        shape = [1] * len(norm)
+        shape[d] = arr.shape[d]
+        m = jnp.asarray(m1.reshape(shape))
+        mask = m if mask is None else mask & m
+    if mask is None:
+        return full
+    return jnp.where(mask, full, arr)
+
+
+def merge_regions(arr, updates):
+    """Apply many region writes as ONE fused elementwise pass.
+
+    ``updates``: list of (idx, value) with static scalar/slice indices;
+    later writes win on overlap (sequential .at[].set semantics).  A
+    chain of ``arr.at[idx].set(v)`` ops whose values read ``arr`` forces
+    XLA to materialize a full copy per write (the pending read pins the
+    old buffer); ghost-cell assignment issues dozens of such tiny writes
+    per block, which dominated apply_all_bcs on the 1.13M-cell case
+    (13 ms of a 47 ms iteration).  Select chains fuse — the whole merge
+    compiles to a single pass over the array — and the constant-mask
+    formulation is inherently safe under SPMD sharding (same form as
+    safe_updates)."""
+    for idx, value in updates:
+        arr = _select_region(arr, idx, value)
+    return arr
+
+
 def set_region(arr, idx, value, add: bool = False):
     """``arr.at[idx].set(value)`` (or ``.add``) with static scalar/slice
     indices, in a form safe under SPMD sharding when safe mode is on."""

@@ -19,7 +19,7 @@ from . import bc as bc_mod
 from . import state as st
 from .reconstruction import reconstruct_faces
 from .flux import inviscid_flux
-from .sput import set_region
+from .sput import set_region, merge_regions
 
 RK4_ALPHA = (0.25, 1.0 / 3.0, 0.5, 1.0)  # low-storage RK4 (procBlock.cpp:941)
 
@@ -73,6 +73,11 @@ def apply_boundary_ghosts(phys: Physics, block, prim, viscous_pass=False,
     wall-distance and wall kinematic viscosity from the adjacent cell)."""
     g = block.g
     dims = {"i": block.ni, "j": block.nj, "k": block.nk}
+    # every ghost value below reads PHYSICAL cells only (src/acell are
+    # interior indices, _cell_indices), so all (layer, surface) writes are
+    # independent — collected and merged in ONE fused pass instead of a
+    # chain of full-array copies (see sput.merge_regions)
+    updates = []
     for layer in range(1, g + 1):
         for spec in block.surfaces:
             if spec.bc_type in ("interblock", "periodic"):
@@ -136,9 +141,8 @@ def apply_boundary_ghosts(phys: Physics, block, prim, viscous_pass=False,
             interior = prim[_plane(prim, ax, src, spec.patch)]
             ghost = bc_mod.ghost_state(phys, bct, interior, norm, spec.data,
                                        layer, **kw)
-            prim = set_region(prim, _plane(prim, ax, gcell, spec.patch),
-                              ghost)
-    return prim
+            updates.append((_plane(prim, ax, gcell, spec.patch), ghost))
+    return merge_regions(prim, updates)
 
 
 # direction-2/3 pairs for the edge pass (procBlock edge convention:
@@ -174,17 +178,24 @@ def apply_edge_ghosts(phys: Physics, block, prim, viscous_pass=False,
     g = block.g
     dims = {"i": block.ni, "j": block.nj, "k": block.nk}
 
-    for d in "ijk":
-        d2, d3 = EDGE_DIRS[d]
-        ax1, ax2, ax3 = 1 + AX[d], 1 + AX[d2], 1 + AX[d3]
-        max2, max3 = dims[d2], dims[d3]
-        n1 = dims[d]
-        line = slice(g, g + n1)
-
-        for upper2 in (False, True):
-            for upper3 in (False, True):
-                for layer3 in range(1, g + 1):
-                    for layer2 in range(1, g + 1):
+    # One merged write per (layer3, layer2) pair: within a pair the 3
+    # edge directions x 4 corners write disjoint double-ghost cell sets
+    # (ghost in exactly the pair's two dims) and read only cells from
+    # earlier pairs / the surface pass, so the 12 line writes fuse into
+    # one pass (sput.merge_regions) instead of 12 full-array copies.
+    # Pair order (1,1),(1,2),(2,1),(2,2) preserves the read-after-write
+    # dependencies of the original per-corner loop.
+    for layer3 in range(1, g + 1):
+        for layer2 in range(1, g + 1):
+            updates = []
+            for d in "ijk":
+                d2, d3 = EDGE_DIRS[d]
+                ax1, ax2, ax3 = 1 + AX[d], 1 + AX[d2], 1 + AX[d3]
+                max2, max3 = dims[d2], dims[d3]
+                n1 = dims[d]
+                line = slice(g, g + n1)
+                for upper2 in (False, True):
+                    for upper3 in (False, True):
                         if upper2:
                             p2 = g + max2 + layer2 - 2
                             c2 = p2 + 1
@@ -254,7 +265,8 @@ def apply_edge_ghosts(phys: Physics, block, prim, viscous_pass=False,
                             ghost = jnp.where(
                                 (w2 & ~w3)[None], ghost_w2,
                                 jnp.where((~w2 & w3)[None], ghost_w3, normal))
-                        prim = set_region(prim, sl(c2, c3), ghost)
+                        updates.append((sl(c2, c3), ghost))
+            prim = merge_regions(prim, updates)
     return prim
 
 
@@ -309,74 +321,95 @@ def _edge_face_normal(block, d, d2, d3, upper2, upper3, other_idx, which):
 def swap_connection_states(phys: Physics, blocks, prims, conn, g):
     """Swap ghost slabs across one connection (both directions)
     (reference: multiArray3d.hpp:790-870 SwapSliceLocal)."""
+    return swap_all_connection_states(phys, blocks, prims, [conn], g)
+
+
+def swap_all_connection_states(phys: Physics, blocks, prims, conns, g):
+    """Ghost-slab swaps for ``conns`` with one fused write per block.
+
+    Within one connection the two sides' writes are independent of each
+    other's reads: side 2's donor rows are INTERIOR in side 1's
+    direction (didx indexes physical rows) while side 1 writes only
+    ghost rows of that direction — so both sides' (layer) slab writes
+    merge into one pass per block (sput.merge_regions) instead of a
+    chain of full-array copies.  ACROSS connections ordering matters
+    (a later connection's transversely-extended donor slab may read an
+    earlier connection's corner writes, exactly as the reference's
+    sequential SwapSlice loop does, gridLevel.cpp:299-313) — callers
+    must pass one connection at a time unless the connections are known
+    disjoint."""
+    updates = {}
+    for conn in conns:
+        for acceptor, donor, to_first, border in (
+                (conn.first, conn.second, True, conn.border_first),
+                (conn.second, conn.first, False, conn.border_second)):
+            blk_a = blocks[acceptor.block]
+            blk_d = blocks[donor.block]
+            dims_a = {"i": blk_a.ni, "j": blk_a.nj, "k": blk_a.nk}
+            dims_d = {"i": blk_d.ni, "j": blk_d.nj, "k": blk_d.nk}
+            n_a = dims_a[acceptor.direction]
+            n_d = dims_d[donor.direction]
+
+            # extended patch slices (padded), trimmed where the patch
+            # borders another connection (those corners belong to the
+            # neighbor's swap)
+            ea = [g, g, g, g]
+            for idx in range(4):
+                if border[idx]:
+                    ea[idx] = 0
+            a1 = slice(g + acceptor.d1_range[0] - ea[0],
+                       g + acceptor.d1_range[1] + ea[1])
+            a2 = slice(g + acceptor.d2_range[0] - ea[2],
+                       g + acceptor.d2_range[1] + ea[3])
+            # donor slices fully extended, then cropped after orienting
+            d1 = slice(g + donor.d1_range[0] - g, g + donor.d1_range[1] + g)
+            d2 = slice(g + donor.d2_range[0] - g, g + donor.d2_range[1] + g)
+
+            donor_prim = prims[donor.block]
+            planes = []
+            for layer in range(1, g + 1):
+                if donor.lower:
+                    didx = g + layer - 1
+                else:
+                    didx = g + n_d - layer
+                idx = [slice(None)] * 4
+                idx[1 + AX[donor.direction]] = didx
+                idx[1 + AX[donor.d1]] = d1
+                idx[1 + AX[donor.d2]] = d2
+                plane = donor_prim[tuple(idx)]
+                # canonical order (neq, d1_donor, d2_donor)
+                rem = [a for a in range(3) if a != AX[donor.direction]]
+                if rem.index(AX[donor.d1]) != 0:
+                    plane = jnp.swapaxes(plane, 1, 2)
+                orient = orient_to_first if to_first else orient_to_second
+                plane = orient(plane, conn.orientation, 1, 2,
+                               conn.second.direction)
+                planes.append(plane)
+
+            rem_a = [a for a in range(3) if a != AX[acceptor.direction]]
+            d1_first_a = rem_a.index(AX[acceptor.d1]) == 0
+            # crop the oriented plane to the (maybe trimmed) acceptor extent
+            full1 = acceptor.d1_range[1] - acceptor.d1_range[0] + 2 * g
+            lo1, hi1 = g - ea[0], full1 - (g - ea[1])
+            full2 = acceptor.d2_range[1] - acceptor.d2_range[0] + 2 * g
+            lo2, hi2 = g - ea[2], full2 - (g - ea[3])
+            for layer in range(1, g + 1):
+                if acceptor.lower:
+                    gidx = g - layer
+                else:
+                    gidx = g + n_a + layer - 1
+                plane = planes[layer - 1][:, lo1:hi1, lo2:hi2]
+                if not d1_first_a:
+                    plane = jnp.swapaxes(plane, 1, 2)
+                idx = [slice(None)] * 4
+                idx[1 + AX[acceptor.direction]] = gidx
+                idx[1 + AX[acceptor.d1]] = a1
+                idx[1 + AX[acceptor.d2]] = a2
+                updates.setdefault(acceptor.block, []).append(
+                    (tuple(idx), plane))
     out = dict(prims)
-    for acceptor, donor, to_first, border in (
-            (conn.first, conn.second, True, conn.border_first),
-            (conn.second, conn.first, False, conn.border_second)):
-        blk_a = blocks[acceptor.block]
-        blk_d = blocks[donor.block]
-        dims_a = {"i": blk_a.ni, "j": blk_a.nj, "k": blk_a.nk}
-        dims_d = {"i": blk_d.ni, "j": blk_d.nj, "k": blk_d.nk}
-        n_a = dims_a[acceptor.direction]
-        n_d = dims_d[donor.direction]
-
-        # extended patch slices (padded), trimmed where the patch borders
-        # another connection (those corners belong to the neighbor's swap)
-        ea = [g, g, g, g]
-        for idx in range(4):
-            if border[idx]:
-                ea[idx] = 0
-        a1 = slice(g + acceptor.d1_range[0] - ea[0],
-                   g + acceptor.d1_range[1] + ea[1])
-        a2 = slice(g + acceptor.d2_range[0] - ea[2],
-                   g + acceptor.d2_range[1] + ea[3])
-        # donor slices always fully extended, then cropped after orienting
-        d1 = slice(g + donor.d1_range[0] - g, g + donor.d1_range[1] + g)
-        d2 = slice(g + donor.d2_range[0] - g, g + donor.d2_range[1] + g)
-
-        donor_prim = out[donor.block]
-        planes = []
-        for layer in range(1, g + 1):
-            if donor.lower:
-                didx = g + layer - 1
-            else:
-                didx = g + n_d - layer
-            idx = [slice(None)] * 4
-            idx[1 + AX[donor.direction]] = didx
-            idx[1 + AX[donor.d1]] = d1
-            idx[1 + AX[donor.d2]] = d2
-            plane = donor_prim[tuple(idx)]
-            # canonical order (neq, d1_donor, d2_donor)
-            rem = [a for a in range(3) if a != AX[donor.direction]]
-            if rem.index(AX[donor.d1]) != 0:
-                plane = jnp.swapaxes(plane, 1, 2)
-            orient = orient_to_first if to_first else orient_to_second
-            plane = orient(plane, conn.orientation, 1, 2,
-                           conn.second.direction)
-            planes.append(plane)
-
-        prim_a = out[acceptor.block]
-        rem_a = [a for a in range(3) if a != AX[acceptor.direction]]
-        d1_first_a = rem_a.index(AX[acceptor.d1]) == 0
-        # crop the oriented plane to the (possibly trimmed) acceptor extent
-        full1 = acceptor.d1_range[1] - acceptor.d1_range[0] + 2 * g
-        lo1, hi1 = g - ea[0], full1 - (g - ea[1])
-        full2 = acceptor.d2_range[1] - acceptor.d2_range[0] + 2 * g
-        lo2, hi2 = g - ea[2], full2 - (g - ea[3])
-        for layer in range(1, g + 1):
-            if acceptor.lower:
-                gidx = g - layer
-            else:
-                gidx = g + n_a + layer - 1
-            plane = planes[layer - 1][:, lo1:hi1, lo2:hi2]
-            if not d1_first_a:
-                plane = jnp.swapaxes(plane, 1, 2)
-            idx = [slice(None)] * 4
-            idx[1 + AX[acceptor.direction]] = gidx
-            idx[1 + AX[acceptor.d1]] = a1
-            idx[1 + AX[acceptor.d2]] = a2
-            prim_a = set_region(prim_a, tuple(idx), plane)
-        out[acceptor.block] = prim_a
+    for bi, ups in updates.items():
+        out[bi] = merge_regions(out[bi], ups)
     return out
 
 

@@ -109,7 +109,13 @@ def eddy_visc_and_blending(phys: Physics, model: str, q, vgrad, kgrad, wgrad,
         num = _ddot_trans(sd, sd) ** 1.5
         den = (_ddot_trans(sr, sr) ** 2.5
                + _ddot_trans(sd, sd) ** 1.25 + EPS)
-        mut = (1.0 / scaling) * r * (WALE["cw"] * length) ** 2 * num / den
+        # NOTE: the reference returns (cw*length)^2 * velGradTerm with NO
+        # rho and NO 1/nondim-scaling factor (turbulence.cpp:967-990) —
+        # unlike every RANS model's rho*k/omega-form mut — so in nondim
+        # units its SGS viscosity is ~scaling x smaller than the
+        # physically-scaled form.  Replicated verbatim for golden parity
+        # (the couette-wale goldens sit within 1% of plain couette).
+        mut = (WALE["cw"] * length) ** 2 * num / den
         return mut, jnp.ones_like(mut), jnp.zeros_like(mut)
     raise ValueError(f"unknown turbulence model {model!r}")
 
@@ -197,12 +203,19 @@ def turb_source(phys: Physics, model: str, q, vgrad, kgrad, wgrad, mut, f1,
             1.0e-10)
         gamma = f1 * s["gamma1"] + (1.0 - f1) * s["gamma2"]
         beta = f1 * s["beta1"] + (1.0 - f1) * s["beta2"]
-        phi = 1.0
         if model == "sstdes":
             cdes = f1 * DES["cdes1"] + (1.0 - f1) * DES["cdes2"]
             tls = jnp.sqrt(tke) / (s["beta_star"] * omega) * scaling
             phi = jnp.maximum((1.0 - f2) * tls / (cdes * width), 1.0)
-        tke_dest = inv_scaling * s["beta_star"] * r * tke * omega * phi
+            # NOTE: the reference's DES tke destruction OMITS the beta*
+            # prefactor plain SST applies — turbSstDes::CalcTurbSrc uses
+            # invScaling * TkeDestruction(state, phi) = invScaling*rho*k*
+            # omega*phi (turbulence.cpp:893-895) where turbKWSst uses
+            # invScaling * betaStar * TkeDestruction(state)
+            # (turbulence.cpp:744-746).  Replicated for golden parity.
+            tke_dest = inv_scaling * r * tke * omega * phi
+        else:
+            tke_dest = inv_scaling * s["beta_star"] * r * tke * omega
         omg_dest = inv_scaling * beta * r * omega * omega
         tke_prod = jnp.maximum(
             jnp.minimum(scaling * rs_ddot, s["k_prod2dest"] * tke_dest), 0.0)
@@ -211,8 +224,13 @@ def turb_source(phys: Physics, model: str, q, vgrad, kgrad, wgrad, mut, f1,
         src_k = tke_prod - tke_dest
         src_w = omg_prod - omg_dest + omg_cd
         if model == "sstdes":
-            # spec rad from max |diag| of src jacobian with beta2
-            j00 = -2.0 * s["beta_star"] * omega * phi * inv_scaling
+            # spec rad from max |diag| of src jacobian with beta2.  NOTE
+            # the reference forwards the raw CELL WIDTH as the phi
+            # argument here (procBlock.cpp:6005-6007 passes
+            # phi=MaxCellWidth into SrcSpecRad; turbulence.cpp:925-935
+            # plugs it straight into TurbSrcJac's destruction
+            # multiplier) — replicated for trajectory parity.
+            j00 = -2.0 * s["beta_star"] * omega * width * inv_scaling
             j11 = -2.0 * s["beta2"] * omega * inv_scaling
             src_rad = -jnp.maximum(jnp.abs(j00), jnp.abs(j11))
         else:
@@ -377,11 +395,15 @@ def face_cv_gradients(phys: Physics, block, prim, t_all, d: str,
 
 
 def tau_normal(vgrad, n, mu_eff):
-    """lambda*tr(G)*n + mu*(G+Gᵀ)·n (reference: utility.cpp:426-436)"""
+    """lambda*tr(G)*n + mu*(G+Gᵀ)·n (reference: utility.cpp:426-436).
+    The 3x3 matvec is unrolled (not einsum) so the same code lowers
+    inside Pallas kernels — Mosaic cannot lower the batched dot_general
+    einsum produces."""
     lam = -2.0 / 3.0 * mu_eff
     trace = vgrad[0, 0] + vgrad[1, 1] + vgrad[2, 2]
     sym = vgrad + jnp.swapaxes(vgrad, 0, 1)
-    matvec = jnp.einsum("ab...,b...->a...", sym, n)
+    matvec = jnp.stack([sym[a, 0] * n[0] + sym[a, 1] * n[1]
+                        + sym[a, 2] * n[2] for a in range(3)])
     return lam[None] * trace[None] * n + mu_eff[None] * matvec
 
 

@@ -75,8 +75,10 @@ def test_wale_eddy_viscosity_hand_value(sst_phys):
     sr = 0.5 * (g + g.T)
     sdd = (sd * sd).sum()
     srdd = (sr * sr).sum()
-    want = (rho * (WALE["cw"] * length) ** 2 * sdd ** 1.5
-            / (srdd ** 2.5 + sdd ** 1.25 + EPS) / phys.nondim_scaling)
+    # reference convention: no rho, no 1/scaling (turbulence.cpp:967-990;
+    # see the parity note in viscous.py eddy_visc_and_blending)
+    want = ((WALE["cw"] * length) ** 2 * sdd ** 1.5
+            / (srdd ** 2.5 + sdd ** 1.25 + EPS))
     assert float(mut[0]) == pytest.approx(want, rel=1e-12)
     assert float(f1[0]) == 1.0 and float(f2[0]) == 0.0
 
@@ -107,13 +109,18 @@ def test_des_length_scale_switching(sst_phys):
     lt = np.sqrt(tke) / (SST["beta_star"] * omega) * scaling
     cdes = f1v * DES["cdes1"] + (1.0 - f1v) * DES["cdes2"]
 
-    # width much larger than Lt/cdes -> phi == 1 -> identical to sst2003
+    # width much larger than Lt/cdes -> phi == 1.  NOTE the reference's
+    # DES tke destruction omits SST's beta* prefactor
+    # (turbSstDes::CalcTurbSrc, turbulence.cpp:893-895 vs :744-746), so
+    # even at phi=1 the destruction is 1/beta* times SST's — replicated
+    # for golden parity; the omega equation is unchanged.
     big = jnp.asarray([10.0 * lt / cdes])
     k_des, w_des, _ = turb_source(phys, "sstdes", jnp.asarray(q), vgrad,
                                   zero3, zero3, mut_a, f1, f2, big)
     k_sst, w_sst, _ = turb_source(phys, "sst2003", jnp.asarray(q), vgrad,
                                   zero3, zero3, mut_a, f1, f2, big)
-    assert float(k_des[0]) == pytest.approx(float(k_sst[0]), rel=1e-14)
+    assert float(k_des[0]) == pytest.approx(
+        float(k_sst[0]) / SST["beta_star"], rel=1e-14)
     assert float(w_des[0]) == pytest.approx(float(w_sst[0]), rel=1e-14)
 
     # width much smaller -> phi = (1-f2) Lt / (cdes*width) > 1 amplifies
@@ -124,10 +131,13 @@ def test_des_length_scale_switching(sst_phys):
     k_small, _, srad = turb_source(phys, "sstdes", jnp.asarray(q), vgrad,
                                    zero3, zero3, mut_a, f1, f2,
                                    jnp.asarray([width]))
-    dest_sst = SST["beta_star"] * rho * tke * omega / scaling
-    assert float(k_small[0]) == pytest.approx(-phi * dest_sst, rel=1e-12)
-    # spectral radius uses the phi-scaled destruction jacobian
-    j00 = 2.0 * SST["beta_star"] * omega * phi / scaling
+    dest_des = rho * tke * omega / scaling
+    assert float(k_small[0]) == pytest.approx(-phi * dest_des, rel=1e-12)
+    # spectral radius: the reference forwards the raw CELL WIDTH as the
+    # phi argument of the source jacobian (procBlock.cpp:6005-6007 ->
+    # turbulence.cpp:925-935) — the destruction jacobian is scaled by
+    # width, not by the DES phi; replicated for trajectory parity
+    j00 = 2.0 * SST["beta_star"] * omega * width / scaling
     j11 = 2.0 * SST["beta2"] * omega / scaling
     assert float(-srad[0]) == pytest.approx(max(j00, j11), rel=1e-12)
 
