@@ -71,6 +71,13 @@ class Solver:
             schmidt=deck["schmidtNumber"],
             turb_schmidt=0.7,
         )
+        # the LODI (nonreflecting) BCs are the only per-iteration consumer
+        # of the cell pressure gradient (bc_aux carry); without them the
+        # hot path skips its accumulation entirely (see step.full_residual)
+        self.cfg["need_pgrad"] = any(
+            spec.data is not None
+            and getattr(spec.data, "nonreflecting", False)
+            for b in self.case.blocks for spec in b.surfaces)
         self.prims = {b.index: jnp.asarray(b.prim0) for b in self.case.blocks}
         self.is_restart = restart_path is not None
         self.l2_first = None
@@ -90,6 +97,13 @@ class Solver:
                 {b.index: imp.build_implicit_context(b) for b in c.blocks}
                 for c in self.mg_cases]
             self.ictx = self.mg_ictx[0]
+        # prepack the fused viscous-march statics (pallas_residual) from
+        # concrete geometry BEFORE geo args snapshot the geom dicts
+        from . import pallas_residual as pres
+        for b in self.case.blocks:
+            if pres.use_march(self.phys, self.cfg, b, self.case.dtype,
+                              for_prepack=True):
+                pres.ensure_static(self.phys, self.cfg, b, self.case.dtype)
         self._geo_args = self._build_geo_args()
         self._iterate_geo = jax.jit(self._iteration_with_geo,
                                     static_argnames=("stage",))
@@ -238,7 +252,8 @@ class Solver:
         auxs = {}
         for b in case.blocks:
             (resid, sr_f, sr_t, dg_f, dg_t, _, prim_v,
-             aux) = step_mod.full_residual(phys, self.cfg, b, prims[b.index])
+             aux) = step_mod.full_residual(phys, self.cfg, b, prims[b.index],
+                                           need_aux=False)
             prims[b.index] = prim_v  # includes viscous-wall ghosts
             auxs[b.index] = aux
             residuals[b.index] = resid
@@ -494,7 +509,8 @@ class Solver:
         cons_n = {}
         for b in case.blocks:
             (resid, sr_f, sr_t, dg_f, dg_t, _, prim_v,
-             aux) = step_mod.full_residual(phys, cfg, b, prims[b.index])
+             aux) = step_mod.full_residual(phys, cfg, b, prims[b.index],
+                                           need_aux=False)
             prims[b.index] = prim_v
             auxs[b.index] = aux
             residuals[b.index] = resid

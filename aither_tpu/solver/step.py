@@ -64,7 +64,7 @@ def boundary_normal(geom, spec, g, n):
 
 
 def apply_boundary_ghosts(phys: Physics, block, prim, viscous_pass=False,
-                          mu_all=None, cfg=None, wall_data=None,
+                          cfg=None, wall_data=None,
                           bc_aux=None, cons_n=None):
     """Assign ghost states for all non-connection surfaces
     (reference: procBlock.cpp:2449-2563).  For the inviscid pass
@@ -98,9 +98,15 @@ def apply_boundary_ghosts(phys: Physics, block, prim, viscous_pass=False,
                 adj = prim[apl]
                 kw["wall_dist"] = block.geom["wall_dist"][
                     _plane(block.geom["wall_dist"], ax - 1, acell, spec.patch)]
-                kw["nu_w"] = mu_all[
-                    _plane(mu_all, ax - 1, acell, spec.patch)] / st.rho(
-                        phys, adj)
+                # wall kinematic viscosity from the adjacent cells only —
+                # same values as slicing a full-field mu (elementwise), but
+                # saves a padded-array temperature+Sutherland pass per
+                # iteration (the full fields are computed once AFTER the
+                # viscous ghost fill, full_residual)
+                rho_adj = st.rho(phys, adj)
+                t_adj = phys.temperature(adj[phys.ie], adj[:phys.ns])
+                mu_adj = phys.viscosity(t_adj, adj[:phys.ns] / rho_adj[None])
+                kw["nu_w"] = mu_adj / rho_adj
                 if spec.data is not None and spec.data.wall_law:
                     kw["cfg"] = cfg
                     if layer == 1 and wall_data is not None:
@@ -169,8 +175,7 @@ def _surface_bc_grid(block, d: str, lower: bool):
     return out, types
 
 
-def apply_edge_ghosts(phys: Physics, block, prim, viscous_pass=False,
-                      mu_all=None):
+def apply_edge_ghosts(phys: Physics, block, prim, viscous_pass=False):
     """Corner/edge ghost states (reference: procBlock.cpp:2565-2804 inviscid,
     :2806-3049 viscous): wall surfaces extend their reflection into the
     corner; otherwise equal layers average and unequal layers copy from the
@@ -514,11 +519,19 @@ def inviscid_residual(phys: Physics, deck_cfg, block, prim):
     return resid, specrad, specrad_turb, diag_flow_blk, diag_turb_blk
 
 
-def full_residual(phys: Physics, cfg, block, prim):
+def full_residual(phys: Physics, cfg, block, prim, need_aux=True):
     """Residual + spectral radii + diagonal terms for one block:
     inviscid fluxes, viscous fluxes, turbulence sources
     (reference: procBlock.cpp:6111-6147 CalcResidualNoSource + :5956
-    CalcSrcTerms)."""
+    CalcSrcTerms).
+
+    ``need_aux=False`` (the per-iteration hot path) skips cell-average
+    gradient fields consumed only by file output (temp/rho gradients,
+    species-fraction gradients, and — unless the case has nonreflecting
+    LODI surfaces, ``cfg["need_pgrad"]`` — the pressure gradient); the
+    reference stores them on the block every iteration
+    (procBlock.hpp:100-121) but only reads them at output time, and the
+    output path (driver.write_output) re-evaluates with need_aux=True."""
     from . import viscous as vis
 
     (resid, sr_flow, sr_turb, diag_flow_blk,
@@ -529,23 +542,28 @@ def full_residual(phys: Physics, cfg, block, prim):
     aux = None
 
     if cfg.get("viscous"):
-        # viscousWall ghosts + aux variables, then viscous fluxes
-        t_all = phys.temperature(prim[phys.ie], prim[:phys.ns])
-        mf_all = prim[:phys.ns] / prim[:phys.ns].sum(axis=0)[None]
-        mu_all = phys.viscosity(t_all, mf_all)
+        # viscousWall ghosts (wall viscosity computed plane-locally inside
+        # the ghost pass), then the aux fields ONCE on the filled state
         wall_data = {}
         prim = apply_boundary_ghosts(phys, block, prim, viscous_pass=True,
-                                     mu_all=mu_all, cfg=cfg,
-                                     wall_data=wall_data)
-        prim = apply_edge_ghosts(phys, block, prim, viscous_pass=True,
-                                 mu_all=mu_all)
+                                     cfg=cfg, wall_data=wall_data)
+        prim = apply_edge_ghosts(phys, block, prim, viscous_pass=True)
         t_all = phys.temperature(prim[phys.ie], prim[:phys.ns])
         mf_all = prim[:phys.ns] / prim[:phys.ns].sum(axis=0)[None]
         mu_all = phys.viscosity(t_all, mf_all)
 
-        (rv, vsr_f, vsr_t, vdiag_f, vdiag_t, cellavg, vblk_f,
-         vblk_t) = vis.viscous_residual(phys, cfg, block, prim, t_all,
-                                        mu_all, wall_data=wall_data)
+        from . import pallas_residual as pres
+        if not need_aux and pres.use_march(phys, cfg, block, prim.dtype):
+            # fused Pallas march: same math, no face-sized HBM traffic
+            (rv, vsr_f, vsr_t, vdiag_f, vdiag_t, cellavg, vblk_f,
+             vblk_t) = pres.viscous_residual_march(phys, cfg, block,
+                                                   prim, t_all, mu_all)
+        else:
+            (rv, vsr_f, vsr_t, vdiag_f, vdiag_t, cellavg, vblk_f,
+             vblk_t) = vis.viscous_residual(
+                 phys, cfg, block, prim, t_all, mu_all,
+                 wall_data=wall_data, need_aux=need_aux,
+                 need_pgrad=cfg.get("need_pgrad", True))
         resid = resid + rv
         sr_flow = sr_flow + vsr_f
         sr_turb = sr_turb + vsr_t
@@ -562,8 +580,9 @@ def full_residual(phys: Physics, cfg, block, prim):
         mut_pad = set_region(jnp.zeros_like(mu_all), P, cellavg["mut"])
         f1_pad = set_region(jnp.zeros_like(mu_all), P, cellavg["f1"])
         aux = {"mu": mu_all, "mut": mut_pad, "f1": f1_pad,
-               "press_grad": cellavg["press"], "vel_grad": cellavg["vel"],
-               "cellavg": cellavg}
+               "vel_grad": cellavg["vel"], "cellavg": cellavg}
+        if "press" in cellavg:
+            aux["press_grad"] = cellavg["press"]
 
     if phys.chemistry is not None:
         # reacting chemistry source terms (reference: procBlock.cpp:5956-6000,

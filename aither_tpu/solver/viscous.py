@@ -255,12 +255,16 @@ def _face_slices(block, d):
 
 
 def face_cv_gradients(phys: Physics, block, prim, t_all, d: str,
-                      is_rans: bool, multi_species: bool):
+                      is_rans: bool, multi_species: bool,
+                      need_aux: bool = True, need_pgrad: bool = True,
+                      need_mix: bool = True):
     """All face-centered-CV Green-Gauss gradients along direction d.
 
-    Returns dict with 'vel' (3,3,nf...), 'temp', 'rho', 'press' (3,nf...),
-    optional 'tke', 'omega', 'mix' (list).  Shapes trimmed to physical
-    transverse extents, nf = n+1 faces along d."""
+    Returns dict with 'vel' (3,3,nf...), 'temp' (3,nf...), optional 'tke',
+    'omega', 'mix' (list), and — when ``need_aux``/``need_pgrad`` — 'rho' /
+    'press', which feed only output fields and the LODI pressure-gradient
+    carry.  Shapes trimmed to physical transverse extents, nf = n+1 faces
+    along d."""
     g, dims, n = _face_slices(block, d)
     ax = 1 + AX[d]
     nf = n + 1
@@ -360,15 +364,17 @@ def face_cv_gradients(phys: Physics, block, prim, t_all, d: str,
         v1l, v1u, v2l, v2u = face_vals(fn_lo, fn_hi, fn)
         return grad_scalar(fn_lo, fn_hi, v1l, v1u, v2l, v2u)
 
-    rho_lo = cells(0)[:phys.ns].sum(axis=0)
-    rho_hi = cells(1)[:phys.ns].sum(axis=0)
-    out["rho"] = scalar_grad_from(
-        rho_lo, rho_hi, lambda *o: cells(*o)[:phys.ns].sum(axis=0))
+    if need_aux:
+        rho_lo = cells(0)[:phys.ns].sum(axis=0)
+        rho_hi = cells(1)[:phys.ns].sum(axis=0)
+        out["rho"] = scalar_grad_from(
+            rho_lo, rho_hi, lambda *o: cells(*o)[:phys.ns].sum(axis=0))
 
-    p_lo = cells(0)[phys.ie]
-    p_hi = cells(1)[phys.ie]
-    out["press"] = scalar_grad_from(p_lo, p_hi,
-                                    lambda *o: cells(*o)[phys.ie])
+    if need_aux or need_pgrad:
+        p_lo = cells(0)[phys.ie]
+        p_hi = cells(1)[phys.ie]
+        out["press"] = scalar_grad_from(p_lo, p_hi,
+                                        lambda *o: cells(*o)[phys.ie])
 
     out["temp"] = scalar_grad_from(tcells(0), tcells(1), tcells)
 
@@ -379,7 +385,7 @@ def face_cv_gradients(phys: Physics, block, prim, t_all, d: str,
         out["omega"] = scalar_grad_from(
             cells(0)[phys.it + 1], cells(1)[phys.it + 1],
             lambda *o: cells(*o)[phys.it + 1])
-    if multi_species:
+    if multi_species and need_mix:
         mix = []
         for ss in range(phys.ns):
             def mf(od, o1=0, o2=0, ss=ss):
@@ -388,6 +394,21 @@ def face_cv_gradients(phys: Physics, block, prim, t_all, d: str,
             mix.append(scalar_grad_from(mf(0), mf(1), mf))
         out["mix"] = mix
     return out
+
+
+def _cellavg_keys(is_rans, need_aux, need_pgrad):
+    """cell-average gradient fields accumulated per direction: 'vel' (+
+    'tke'/'omega' for RANS) feed the turbulence sources / implicit path
+    every iteration; 'temp'/'rho' feed only file output; 'press' feeds
+    the LODI bc carry and output."""
+    keys = ["vel"]
+    if need_aux:
+        keys += ["temp", "rho"]
+    if need_aux or need_pgrad:
+        keys.append("press")
+    if is_rans:
+        keys += ["tke", "omega"]
+    return keys
 
 
 # ---------------------------------------------------------------------------
@@ -424,13 +445,15 @@ def _wall_face_mask(block, d: str, nf: int):
 
 
 def viscous_residual(phys: Physics, cfg, block, prim, t_all, mu_all,
-                     wall_data=None):
+                     wall_data=None, need_aux=True, need_pgrad=True):
     """Viscous flux residual contribution + gradients + eddy viscosity +
     viscous spectral radii (reference: procBlock.cpp:1233-1879).
 
     Returns (resid_v, sr_dt_flow, sr_dt_turb, diag_flow, diag_turb, cellavg)
     where resid_v must be ADDED to the inviscid residual (sign handled here)
-    and cellavg holds 1/6-weighted cell gradients / mut / f1 / f2."""
+    and cellavg holds 1/6-weighted cell gradients / mut / f1 / f2.
+    ``need_aux=False`` drops the output-only gradient fields (see
+    step.full_residual)."""
     g = block.g
     geom = block.geom
     dims = dict(i=block.ni, j=block.nj, k=block.nk)
@@ -455,19 +478,16 @@ def viscous_residual(phys: Physics, cfg, block, prim, t_all, mu_all,
         diag_flow_blk = jnp.zeros(shape_c + (N, N), dtype)
         if is_rans:
             diag_turb_blk = jnp.zeros(shape_c + (2, 2), dtype)
+    ca_keys = _cellavg_keys(is_rans, need_aux, need_pgrad)
     cellavg = dict(
-        vel=jnp.zeros((3, 3) + shape_c, dtype),
-        temp=jnp.zeros((3,) + shape_c, dtype),
-        rho=jnp.zeros((3,) + shape_c, dtype),
-        press=jnp.zeros((3,) + shape_c, dtype),
         mut=jnp.zeros(shape_c, dtype),
         f1=jnp.zeros(shape_c, dtype),
         f2=jnp.zeros(shape_c, dtype),
     )
-    if is_rans:
-        cellavg["tke"] = jnp.zeros((3,) + shape_c, dtype)
-        cellavg["omega"] = jnp.zeros((3,) + shape_c, dtype)
-    if multi:
+    for key in ca_keys:
+        lead = (3, 3) if key == "vel" else (3,)
+        cellavg[key] = jnp.zeros(lead + shape_c, dtype)
+    if multi and need_aux:
         cellavg["mix"] = [jnp.zeros((3,) + shape_c, dtype)
                           for _ in range(phys.ns)]
 
@@ -504,7 +524,10 @@ def viscous_residual(phys: Physics, cfg, block, prim, t_all, mu_all,
         nf = n + 1
         d1, d2 = [x for x in "ijk" if x != d]
 
-        grads = face_cv_gradients(phys, block, prim, t_all, d, is_rans, multi)
+        grads = face_cv_gradients(
+            phys, block, prim, t_all, d, is_rans, multi,
+            need_aux=need_aux, need_pgrad=need_pgrad,
+            need_mix=need_aux or cfg["diffusion"] != "none")
 
         def cellslab(arr, off_d, eqdim=True):
             sl = [slice(None)] * (4 if eqdim else 3)
@@ -747,12 +770,11 @@ def viscous_residual(phys: Physics, cfg, block, prim, t_all, mu_all,
         # cell-average gradient/mut accumulation (1/6 per face)
         sixth = 1.0 / 6.0
         flo3, fhi3 = _face_lohi(AX[d], n)
-        for key in ("vel", "temp", "rho", "press") + (
-                ("tke", "omega") if is_rans else ()):
+        for key in ca_keys:
             garr = grads[key]
             cellavg[key] = cellavg[key] + sixth * (
                 garr[(Ellipsis,) + flo3] + garr[(Ellipsis,) + fhi3])
-        if multi:
+        if multi and need_aux:
             for ss in range(phys.ns):
                 garr = grads["mix"][ss]
                 cellavg["mix"][ss] = cellavg["mix"][ss] + sixth * (

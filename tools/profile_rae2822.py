@@ -65,7 +65,7 @@ def main():
     t_bc, prims_bc = timeit(bcs, prims)
     print(f"apply_all_bcs:        {t_bc:8.3f} ms")
 
-    fr = jax.jit(lambda p: step_mod.full_residual(phys, cfg, b, p[b.index]))
+    fr = jax.jit(lambda p: step_mod.full_residual(phys, cfg, b, p[b.index], need_aux=False))
     t_fr, fr_out = timeit(fr, prims_bc)
     print(f"full_residual:        {t_fr:8.3f} ms")
     resid, sr_f, sr_t, dg_f, dg_t, _, prim_v, aux = fr_out
