@@ -124,6 +124,43 @@ def test_sharded_production_run(tmp_path):
     np.testing.assert_allclose(b, a, rtol=1e-8, atol=1e-12)
 
 
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(REF_CASES),
+                    reason="reference cases absent")
+def test_multigrid_sharded_run(tmp_path):
+    """FAS W-cycle multigrid x mesh sharding (VERDICT r2 #5): the official
+    transonicBump config (3-level agglomeration MG + DPLUR) runs with
+    every level's block state sharded over the 8-device mesh and
+    reproduces the single-device residual history.  Exercises the
+    restriction/prolongation transfers and coarse-level sweeps under the
+    GSPMD partitioner (reference: gridLevel.cpp:440-536 coarsening,
+    mgSolution.cpp:160-244 CycleAtLevel)."""
+    from aither_tpu.solver.driver import Solver
+    ref = os.path.join(REF_CASES, "transonicBump")
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    for d in (d1, d2):
+        os.mkdir(d)
+        for f in os.listdir(ref):
+            shutil.copy(os.path.join(ref, f), d)
+
+    def resid(workdir, shard):
+        s = Solver(os.path.join(workdir, "transonicBump.inp"),
+                   workdir=workdir)
+        assert len(s.mg_cases) == 3  # deck requests 3 multigrid levels
+        if shard:
+            s.enable_sharding(8)
+        s.run(iterations=3, write_files=False)
+        rows = []
+        with open(os.path.join(workdir, "transonicBump.resid")) as f:
+            for line in f.readlines()[1:]:
+                rows.append([float(v) for v in line.split()[2:10]])
+        return np.asarray(rows)
+
+    a = resid(d1, shard=False)
+    b = resid(d2, shard=True)
+    np.testing.assert_allclose(b, a, rtol=1e-8, atol=1e-12)
+
+
 def test_decomposed_sharded_run(tmp_path):
     """--nproc and --shard compose: a decomposed (really split) case runs
     with its sub-block state sharded over the mesh and reproduces the
