@@ -1,0 +1,150 @@
+"""Executable justification for every regression tolerance above 1%.
+
+VERDICT r2 #8: the relaxed tolerances in test_regression.py (2-4% on 5
+roundoff-chaotic configs) were justified only by comments describing
+tools/compare_trajectory.py runs.  This test checks the evidence in:
+``tests/data/ref_traj/*.resid`` hold the locally-built reference binary's
+FULL residual trajectories (tools/build_reference.sh, single- or
+stub-multi-rank) for each relaxed case, and the assertions below encode
+the drift model those comments describe:
+
+  1. EARLY AGREEMENT — our trajectory is the same solution path, not a
+     different algorithm: within the first ``early_rows`` residual rows
+     every compared equation matches the reference to ``early_tol``
+     (orders of magnitude tighter than the regression tolerance).
+  2. BOUNDED DRIFT — cross-implementation 1-ulp roundoff amplified by the
+     residual operator (characteristic-BC branch switches, LODI terms)
+     grows the difference smoothly; it must stay inside the regression
+     tolerance envelope on EVERY row, not just the final one.
+
+If either assertion fails the relaxed tolerance is no longer justified
+and must be revisited (reference trajectory comparison method:
+testCases/regressionTests.py compares final rows only; this is stricter).
+"""
+
+import os
+import re
+import shutil
+
+import numpy as np
+import pytest
+
+CASES = "/root/reference/testCases"
+DATA = os.path.join(os.path.dirname(__file__), "data", "ref_traj")
+
+
+def _rows(path):
+    """(nrows, neq) residual columns from a .resid file."""
+    out = []
+    with open(path) as f:
+        for ln in f:
+            t = ln.split()
+            if not t or t[0] == "Step":
+                continue
+            # step, nl, dt/cfl, neq resids, 5 loc ints, max-res, matrix-res
+            out.append([float(v) for v in t[3:len(t) - 7]])
+    return np.asarray(out)
+
+
+# name -> (case, deck patches, our iterations, reference trajectory file,
+#          ignored eq indices, early_rows, early_tol,
+#          final-row tolerance {eq or None (default): tol},
+#          early-excluded eq indices, peak bound {eq: tol})
+# The ignored indices / final tolerances mirror test_regression.py.
+# ``peak`` documents equations whose drift transiently overshoots the
+# regression tolerance mid-run (residual has fallen many decades, so the
+# RELATIVE drift is maximally amplified) before settling back under it —
+# the every-row envelope uses the peak bound where given, the final-row
+# assertion always uses the regression tolerance.
+EVIDENCE = {
+    # regression: 2% (test_regression.py VISCOUS_CASES wallLaw)
+    "wallLaw-1proc": ("wallLaw", {}, 20, "wallLaw_1p.resid", {1, 3},
+                      5, 1e-4, {None: 0.02}, set(), {}),
+    # regression: 2% (VISCOUS_CASES supersonicMixing)
+    "supersonicMixing-1proc": ("supersonicMixing", {}, 20,
+                               "supersonicMixing_1p.resid", {3},
+                               5, 1e-4, {None: 0.02}, set(), {}),
+    # regression: sdr (eq 6) 3% (TWO_PROC_CASES thermallyPerfect).  The
+    # omega residual sits downstream of the thermallyPerfect temperature
+    # inversion (Ridder bracket differs across implementations by 1 ulp),
+    # so eq 6 drifts ~2% by row 2 while every other equation tracks to
+    # 1e-4 — excluded from the EARLY check.  Its RELATIVE drift peaks at
+    # 33% around row 10, where the sdr residual has collapsed ~6 decades
+    # (4.6e-6 by row 14: the absolute difference stays ~1e-6-scale while
+    # the denominator vanishes), then settles to 3% by the final row.
+    "thermallyPerfect-2proc": ("thermallyPerfect", {}, 20,
+                               "thermallyPerfect_2p.resid", {3},
+                               5, 1e-4, {None: 0.01, 6: 0.03}, {6},
+                               {6: 0.40}),
+    # regression: 2% (BLOCK_SOLVER_CASES turbFlatPlate-blusgs).  omega
+    # drift peaks at 4.5% around row 9 — where its residual has dropped
+    # ~5.5 decades from the initial and the iterative block sweep's
+    # roundoff is maximally amplified — then settles back below 2%.
+    "turbFlatPlate-blusgs": ("turbFlatPlate",
+                             {"matrixSolver": "blusgs"}, 20,
+                             "turbFlatPlate_blusgs_1p.resid", {2},
+                             5, 1e-4, {None: 0.02}, set(), {6: 0.06}),
+    # regression: 4% (IMPLICIT_CASES convectingVortex).  LODI switching
+    # amplifies 1-ulp differences ~1e12x; drift documented as 2e-5 @ step
+    # 5, 4e-3 @ step 20, 2.5e-2 @ step 99.  30 outer steps (300 rows)
+    # keep the test affordable while covering the early + mid drift.
+    "convectingVortex": ("convectingVortex", {}, 30,
+                         "convectingVortex_1p.resid", {3},
+                         40, 1e-3, {None: 0.04}, set(), {}),
+}
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(CASES), reason="reference cases absent")
+@pytest.mark.parametrize("name", sorted(EVIDENCE))
+def test_drift_model(name, tmp_path):
+    from aither_tpu.solver.driver import Solver
+    (case, patches, iters, traj, ignored, early_rows, early_tol, env,
+     early_excl, peak) = EVIDENCE[name]
+    ref_rows = _rows(os.path.join(DATA, traj))
+
+    src = os.path.join(CASES, case)
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), str(tmp_path))
+    deck = os.path.join(str(tmp_path), f"{case}.inp")
+    with open(deck) as f:
+        text = f.read()
+    for key, val in patches.items():
+        text = re.sub(rf"(?m)^{key}:.*$", f"{key}: {val}", text)
+    with open(deck, "w") as f:
+        f.write(text)
+
+    nproc = 2 if name.endswith("2proc") else 1
+    solver = Solver(deck, workdir=str(tmp_path), nproc=nproc)
+    solver.run(iterations=iters, write_files=False)
+    ours = _rows(os.path.join(str(tmp_path), f"{case}.resid"))
+
+    n = min(len(ours), len(ref_rows))
+    assert n >= early_rows, f"{name}: too few rows ({n})"
+    neq = ref_rows.shape[1]
+    assert ours.shape[1] == neq
+
+    cols = [e for e in range(neq) if e not in ignored]
+    drift = np.abs(ours[:n, cols] - ref_rows[:n, cols]) / (
+        np.abs(ref_rows[:n, cols]) + 1e-300)
+
+    # 1. early agreement: same trajectory before roundoff chaos sets in
+    early_cols = [j for j, e in enumerate(cols) if e not in early_excl]
+    early = drift[:early_rows][:, early_cols].max()
+    assert early <= early_tol, (
+        f"{name}: early drift {early:.2e} > {early_tol:g} in the first "
+        f"{early_rows} rows — the solvers are on different paths, not "
+        f"diverging by roundoff")
+
+    # 2. bounded drift: every row inside the (peak-aware) envelope, and
+    #    the final row inside the regression tolerance itself
+    for j, e in enumerate(cols):
+        tol = env.get(e, env[None])
+        bound = peak.get(e, tol)
+        worst = drift[:, j].max()
+        assert worst <= bound, (
+            f"{name} eq {e}: drift {worst:.2e} exceeds the envelope "
+            f"{bound:g} at row {int(drift[:, j].argmax())}")
+        assert drift[-1, j] <= tol, (
+            f"{name} eq {e}: final-row drift {drift[-1, j]:.2e} exceeds "
+            f"the regression tolerance {tol:g}")
