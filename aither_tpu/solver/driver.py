@@ -34,6 +34,10 @@ class Solver:
         self.debug = bool(debug)
         self._deck_path = deck_path
         self._dtype_arg = dtype
+        # every executable goes through the (possibly tunneled) device
+        # compiler; persist compiles across processes
+        from ..utils.compile_cache import enable_compilation_cache
+        enable_compilation_cache()
         self.case = build_case(deck_path, dtype=dtype, nproc=nproc)
         self.deck = self.case.deck
         self.phys = self.case.phys

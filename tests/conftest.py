@@ -17,4 +17,9 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# persist CPU test executables across runs (keyed by backend + program,
+# so TPU entries coexist); big win on this 1-core host
+from aither_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
+
 REF_CASES = "/root/reference/testCases"
