@@ -21,8 +21,18 @@ away.
 
 Face geometry (the six CV area vectors, volumes, interpolation
 coefficients, wall distance at faces) is precomputed once per case into
-a packed (steps, C, T) array stored in ``block.geom`` so it rides the
-driver's geometry jit arguments instead of inlining into executables.
+a packed (steps, C, rows, cols) array stored in ``block.geom`` so it
+rides the driver's geometry jit arguments instead of inlining into
+executables.
+
+Plane layout: transverse planes stay 2-D — one transverse axis on
+sublanes, the other on lanes (orientation chosen per case to minimize
+(8, 128) tile padding).  An in-plane neighbor access is then a sublane
+roll or a lane roll confined to one lane tile whenever the lane-axis
+extent is <= 128 — unlike the earlier flattened-lane layout whose
+every neighbor access was a dynamic rotate across ceil(T/128) lane
+tiles (Mosaic compile blew up past ~10 tiles).  Wrap garbage still
+lands only in ghost rings the caller slices away.
 
 Exactness: every formula mirrors viscous.py expression-for-expression
 (same operand order), pinned by tests/test_pallas_residual.py
@@ -34,12 +44,10 @@ surfaces, no LODI pressure-gradient carry, caloricallyPerfect thermo,
 need_aux=False (the per-iteration hot path; the output path re-evaluates
 through the reference JAX implementation).
 
-Compiled-mode use is OPT-IN via cfg["pallas_march"] — see the measured
-status note in ``use_march``: the flattened-lane plane layout that makes
-in-plane neighbor access a lane shift also makes those shifts unaligned
-dynamic rotates, which under-fill the VPU on small planes and blow up
-Mosaic's compile on large ones.  The interpreter-mode parity tests
-(tests/test_pallas_residual.py) pin the math for the layout rework.
+Compiled-mode use is gated by ``use_march`` (measured status note
+there); cfg["pallas_march"] forces it on for experimentation and
+cfg["no_pallas"] forces it off.  The interpreter-mode parity tests
+(tests/test_pallas_residual.py) pin the math against viscous.py.
 """
 
 from __future__ import annotations
@@ -59,9 +67,29 @@ from .reconstruction import _lagrange_coeff
 
 EPS = 1.0e-30
 
-# conservative per-lane temporaries bound for the unrolled 3-direction
-# face math (same VMEM-stack budgeting idea as pallas_sweep.plane_chunk)
-TEMP_CH = 700
+# conservative plane-channel margin for Mosaic's VMEM-stack temporaries
+# in the unrolled 3-direction face math (same budgeting idea as
+# pallas_sweep.plane_chunk), on top of the statically known pipeline
+# buffers counted in use_march
+TEMP_CH = 260
+
+
+def plane_dims(block):
+    """((rows, cols), orient): the 2-D transverse-plane layout.
+
+    orient "ab" puts axis a on sublanes / b on lanes, "ba" the swap;
+    chosen to minimize the (8, 128) f32 tile-padding footprint."""
+    m, a, b = march_axes(block)
+    dims = {"i": block.ni, "j": block.nj, "k": block.nk}
+    g = block.g
+    A2, B2 = dims[a] + 2 * g, dims[b] + 2 * g
+
+    def padded(r, c):
+        return (-(-r // 8) * 8) * (-(-c // 128) * 128)
+
+    if padded(A2, B2) <= padded(B2, A2):
+        return (A2, B2), "ab"
+    return (B2, A2), "ba"
 
 
 def march_axes(block):
@@ -94,27 +122,30 @@ def use_march(phys: Physics, cfg, block, dtype, for_prepack=False) -> bool:
             return False
     m, a, b = march_axes(block)
     dims = {"i": block.ni, "j": block.nj, "k": block.nk}
-    g = block.g
     if dims[m] < 2:
         return False
-    T = (dims[a] + 2 * g) * (dims[b] + 2 * g)
     itemsize = np.dtype(dtype).itemsize
     if cfg.get("pallas_interpret"):
         return True
-    # Compiled-mode status (measured, TPU v5e): the kernel compiles and
-    # matches the JAX path to f32 roundoff on plane sizes up to ~T=340
-    # (rae2822 2-D) but runs ~2x slower there (373 sequential grid steps
-    # over 2.7-lane-tile planes under-fill the VPU), and at T~3.5k (the
-    # 1.13M-cell 3-D extrusion) the in-plane lane rotates
-    # (tpu.dynamic_rotate across 28 lane tiles) drive Mosaic's compile
-    # pathological (>30 min, unbounded).  Until the plane layout is
-    # re-tiled (sublane x lane instead of flattened lanes), the kernel is
-    # opt-in: cfg["pallas_march"] enables it for experimentation.
+    # Compiled mode is opt-in via cfg["pallas_march"] until the 2-D
+    # (sublane x lane) plane layout is measured on the TPU; the earlier
+    # flattened-lane layout compiled but under-filled the VPU on small
+    # planes and drove Mosaic pathological on large ones.
     if not cfg.get("pallas_march"):
         return False
-    if TEMP_CH * T * itemsize > 10 * 1024 * 1024:
-        return False
     if dtype != jnp.float32:
+        return False
+    # VMEM budget: statically known pipeline buffers + TEMP_CH margin
+    # for Mosaic's kernel temporaries must fit in ~16M of VMEM
+    (rows, cols), _ = plane_dims(block)
+    plane_bytes = (-(-rows // 8) * 8) * (-(-cols // 128) * 128) * itemsize
+    neq = phys.neq
+    is_rans = phys.nturb > 0
+    cs = 3 * (6 * 3 + 3 + 7) + 5            # statics channels (see prepack)
+    cout = neq + 4 + 9 + (6 if is_rans else 0) + 3
+    cc = neq + 9 + (6 if is_rans else 0) + 3
+    fixed = 2 * (cs + cout) + 4 * (neq + 2) + cc
+    if (fixed + TEMP_CH) * plane_bytes > 15 * 1024 * 1024:
         return False
     try:
         return jax.default_backend() not in ("cpu",)
@@ -127,7 +158,7 @@ def use_march(phys: Physics, cfg, block, dtype, for_prepack=False) -> bool:
 
 
 def prepack_march_static(phys: Physics, cfg, block, dtype):
-    """Packed per-step face/cell geometry: (nsteps, Cs, T) with
+    """Packed per-step face/cell geometry: (nsteps, Cs, rows, cols) with
     nsteps = nm + g + 1; step p carries the m-face f=p-g channels and the
     emission channels of cell c=p-g-1 (in-plane face arrays + cell
     fields).  All values equal viscous_residual's (full-padded-plane
@@ -286,9 +317,12 @@ def prepack_march_static(phys: Physics, cfg, block, dtype):
         offs[name] = (c0, arr.shape[1])
         c0 += arr.shape[1]
         parts.append(arr)
-    pack = np.concatenate(parts, axis=1).reshape(nsteps, c0, T)
+    pack = np.concatenate(parts, axis=1)        # (nsteps, Cs, A2, B2)
+    (rows, cols), orient = plane_dims(block)
+    if orient == "ba":
+        pack = pack.swapaxes(-2, -1)
     meta = dict(m=m, a=a, b=b, offs=offs, nsteps=nsteps, A2=A2, B2=B2,
-                T=T, Cs=c0)
+                T=T, Cs=c0, rows=rows, cols=cols, orient=orient)
     return jnp.asarray(pack.astype(np.dtype(dtype))), meta
 
 
@@ -301,22 +335,20 @@ def ensure_static(phys, cfg, block, dtype):
 
 
 # ---------------------------------------------------------------------------
-# kernel math (channel planes: (T,) or (k, T) arrays)
+# kernel math (channel planes: (rows, cols) or (k, rows, cols) arrays)
 
 
-def _sh(x, shift):
-    """value[q] = x[q - shift] along the flattened-plane (last) axis —
-    np.roll semantics via the TPU lane-rotate primitive (a slice+concat
-    formulation produces unaligned vector concatenates Mosaic rejects);
-    wrap garbage lands only in ghost rings the caller slices away."""
+def _sh(x, shift, axis):
+    """value[q] = x[q - shift] along plane ``axis`` (-1 lanes, -2
+    sublanes) — np.roll semantics via the TPU rotate primitive (a
+    slice+concat formulation produces unaligned vector concatenates
+    Mosaic rejects); wrap garbage lands only in ghost rings the caller
+    slices away.  With the 2-D plane layout a lane roll touches only
+    ceil(cols/128) tiles and a sublane roll is a cheap vreg shuffle."""
     if shift == 0:
         return x
-    n = x.shape[-1]
-    if x.ndim == 1:
-        # Mosaic's rotate requires >=2-D vectors; (1, n) keeps the lane
-        # dimension so the reshape is free
-        return pltpu.roll(x.reshape(1, n), shift % n, axis=1).reshape(n)
-    return pltpu.roll(x, shift % n, axis=x.ndim - 1)
+    n = x.shape[axis]
+    return pltpu.roll(x, shift % n, axis=x.ndim + axis)
 
 
 def _eddy_wilcox_ch(phys, vg, q_it, q_it1, rho_f):
@@ -570,7 +602,8 @@ def viscous_residual_march(phys: Physics, cfg, block, prim, t_all, mu_all):
     g = block.g
     dims = {"i": block.ni, "j": block.nj, "k": block.nk}
     nm, na, nb = dims[m], dims[a], dims[b]
-    A2, B2, T = meta["A2"], meta["B2"], meta["T"]
+    A2, B2 = meta["A2"], meta["B2"]
+    rows, cols, orient = meta["rows"], meta["cols"], meta["orient"]
     nsteps = meta["nsteps"]
     offs_s = meta["offs"]
     Cs = meta["Cs"]
@@ -581,14 +614,17 @@ def viscous_residual_march(phys: Physics, cfg, block, prim, t_all, mu_all):
     sixth = 1.0 / 6.0
 
     perm = (0, 1 + AX[m], 1 + AX[a], 1 + AX[b])
-    prim_m = jnp.transpose(prim, perm)
-    prim_m = jnp.moveaxis(prim_m, 1, 0).reshape(
-        (nm + 2 * g, neq, T))[:nsteps]
+
+    def to_planes(x):
+        """(M2, k?, A2, B2) -> (nsteps, k?, rows, cols)."""
+        if orient == "ba":
+            x = jnp.swapaxes(x, -2, -1)
+        return x[:nsteps]
+
+    prim_m = to_planes(jnp.moveaxis(jnp.transpose(prim, perm), 1, 0))
     sperm = tuple(x - 1 for x in perm[1:])
-    t_m = jnp.transpose(t_all, sperm).reshape(
-        (nm + 2 * g, 1, T))[:nsteps]
-    mu_m = jnp.transpose(mu_all, sperm).reshape(
-        (nm + 2 * g, 1, T))[:nsteps]
+    t_m = to_planes(jnp.transpose(t_all, sperm)[:, None])
+    mu_m = to_planes(jnp.transpose(mu_all, sperm)[:, None])
     statics = block.geom["vmarch_pack"]
 
     carry_offs, Cc = _carry_layout(phys, is_rans)
@@ -602,10 +638,11 @@ def viscous_residual_march(phys: Physics, cfg, block, prim, t_all, mu_all):
         out_offs[name] = (Cout, k)
         Cout += k
 
+    ax_of = {a: -2, b: -1} if orient == "ab" else {a: -1, b: -2}
+
     def sh_inplane(axis_letter, x, o):
         """in-plane neighbor: source offset +o along the axis."""
-        s = -o * (B2 if axis_letter == a else 1)
-        return _sh(x, s)
+        return _sh(x, -o, ax_of[axis_letter])
 
     def kernel(prim_ref, t_ref, mu_ref, s_ref, out_ref,
                w_prim, w_t, w_mu, carry):
@@ -754,10 +791,10 @@ def viscous_residual_march(phys: Physics, cfg, block, prim, t_all, mu_all):
 
                 parts = [acc["resid"], acc["sr_flow"][None],
                          (acc["sr_turb"][None] if is_rans
-                          else jnp.zeros((1, T), dtype)),
+                          else jnp.zeros((1, rows, cols), dtype)),
                          acc["diag_flow"][None],
                          (acc["diag_turb"][None] if is_rans
-                          else jnp.zeros((1, T), dtype)),
+                          else jnp.zeros((1, rows, cols), dtype)),
                          acc["vel"]]
                 if is_rans:
                     parts += [acc["tke"], acc["omega"]]
@@ -773,31 +810,36 @@ def viscous_residual_march(phys: Physics, cfg, block, prim, t_all, mu_all):
         w_mu[0] = w_mu[1]
         w_mu[1] = mu_fresh
 
-    blk = lambda p: (p, 0, 0)
+    blk = lambda p: (p, 0, 0, 0)
     out = pl.pallas_call(
         kernel,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((1, neq, T), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, T), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, T), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cs, T), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, neq, rows, cols), blk,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rows, cols), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rows, cols), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cs, rows, cols), blk,
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Cout, T), blk, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nsteps, Cout, T), dtype),
+        out_specs=pl.BlockSpec((1, Cout, rows, cols), blk,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nsteps, Cout, rows, cols), dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, neq, T), dtype),
-            pltpu.VMEM((2, 1, T), dtype),
-            pltpu.VMEM((2, 1, T), dtype),
-            pltpu.VMEM((Cc, T), dtype),
+            pltpu.VMEM((2, neq, rows, cols), dtype),
+            pltpu.VMEM((2, 1, rows, cols), dtype),
+            pltpu.VMEM((2, 1, rows, cols), dtype),
+            pltpu.VMEM((Cc, rows, cols), dtype),
         ],
         interpret=bool(cfg.get("pallas_interpret", False)),
     )(prim_m, t_m, mu_m, statics)
 
-    # rows g+1..g+nm hold cells 0..nm-1 in marcher (m, a, b) order
-    rows = out[g + 1:g + 1 + nm].reshape(nm, Cout, A2, B2)
-    rows = rows[:, :, g:g + na, g:g + nb]
-    rows = jnp.moveaxis(rows, 0, 1)            # (Cout, nm, na, nb)
+    # steps g+1..g+nm hold cells 0..nm-1 in marcher (m, a, b) order
+    planes = out[g + 1:g + 1 + nm]             # (nm, Cout, rows, cols)
+    if orient == "ba":
+        planes = jnp.swapaxes(planes, -2, -1)  # (nm, Cout, A2, B2)
+    planes = planes[:, :, g:g + na, g:g + nb]
+    planes = jnp.moveaxis(planes, 0, 1)        # (Cout, nm, na, nb)
 
     inv = [0, 0, 0]
     for pos, d in enumerate((m, a, b)):
@@ -810,7 +852,7 @@ def viscous_residual_march(phys: Physics, cfg, block, prim, t_all, mu_all):
 
     def take(name):
         o, k = out_offs[name]
-        return to_ijk(rows[o:o + k])
+        return to_ijk(planes[o:o + k])
 
     resid = take("resid")
     sr_flow = take("sr_flow")[0]
