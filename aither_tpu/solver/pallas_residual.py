@@ -127,10 +127,14 @@ def use_march(phys: Physics, cfg, block, dtype, for_prepack=False) -> bool:
     itemsize = np.dtype(dtype).itemsize
     if cfg.get("pallas_interpret"):
         return True
-    # Compiled mode is opt-in via cfg["pallas_march"] until the 2-D
-    # (sublane x lane) plane layout is measured on the TPU; the earlier
-    # flattened-lane layout compiled but under-filled the VPU on small
-    # planes and drove Mosaic pathological on large ones.
+    # Compiled-mode status (measured, TPU v5e, 2-D plane layout): the
+    # kernel compiles fast now (25 s on rae2822 2-D, 88 s on the nk=24
+    # extrusion vs the old flattened-lane layout's unbounded Mosaic
+    # compiles) and matches the JAX path to f32 roundoff, but does NOT
+    # beat it: 2.83 vs 2.85 ms on rae2822 2-D, 5.51 vs 3.71 ms on the
+    # 0.57M-cell extrusion — the ~15 us/grid-step pipeline floor of the
+    # serial march exceeds what the avoided HBM traffic buys at these
+    # sizes.  Opt-in via cfg["pallas_march"] for experimentation.
     if not cfg.get("pallas_march"):
         return False
     if dtype != jnp.float32:

@@ -84,13 +84,15 @@ def plane_chunk(P, C, K2, J2, dtype, block_matrix=False):
     est = temp_ch * K2 * J2 * itemsize
     if est > 12 * 1024 * 1024:
         return 0        # plane too large for the kernel — use the scan path
-    # Mosaic compile time grows pathologically with the unrolled
-    # channel-point volume of the kernel body (measured on the tunneled
-    # v5e: SST 7-eq on the 1.13M-cell extrusion — C~45 x 3.8k plane
-    # points — never finished compiling in two >50 min attempts, while
-    # laminar 5-eq on the same planes took ~20 min and every 2-D case
-    # compiles in seconds-to-minutes).  Above this volume the lax.scan
-    # wavefront path wins on wall clock even before the first iteration.
+    # Above this volume the kernel buys nothing: the earlier >50-min
+    # Mosaic compiles were the concat-formulated in-plane shifts (with
+    # pltpu.roll the SST 7-eq sweep on the 1.13M-cell extrusion compiles
+    # in ~52 s), but measured head-to-head there the kernel TIES the
+    # lax.scan wavefront (10.2 vs 10.1 ms standalone forward sweep) and
+    # q>1 chunking is ~20% SLOWER — at big planes both paths sit on the
+    # same ~21 us/hyperplane serialization floor, so the scan path wins
+    # on compile time.  The kernel pays off where dispatch overhead
+    # dominates: tiny planes, many steps (every 2-D case).
     if C * K2 * J2 > 150_000:
         return 0
     q = 8
