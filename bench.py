@@ -177,20 +177,25 @@ def main():
             ob = big._iterate(ob[0], bcn, bcm, bcfl, 0)
         jax.block_until_ready(ob[0])
         pb = ob[0]
-        t0 = time.perf_counter()
         NB = 10
-        for _ in range(NB):
-            pb, bl2, *_ = big._iterate(pb, bcn, bcm, bcfl, 0)
-        jax.block_until_ready(pb)
-        bdt = time.perf_counter() - t0
+        big_windows = []
+        for _w in range(3):  # median of 3 windows, like the 2-D metrics
+            t0 = time.perf_counter()
+            for _ in range(NB):
+                pb, bl2, *_ = big._iterate(pb, bcn, bcm, bcfl, 0)
+            jax.block_until_ready(pb)
+            big_windows.append(NB / (time.perf_counter() - t0))
+        big_windows.sort()
         import numpy as _np
         assert _np.all(_np.isfinite(_np.asarray(bl2)))
         cells = big.case.total_cells
-        ips = NB / bdt
+        ips = big_windows[1]
         print(json.dumps({
             "metric": "rae2822_3d_rans_Mcell_iters_per_sec",
             "value": round(ips * cells / 1e6, 2), "unit": "Mcell-iters/sec",
-            "cells": cells, "iters_per_sec": round(ips, 3)}),
+            "cells": cells, "iters_per_sec": round(ips, 3),
+            "spread": [round(big_windows[0], 3),
+                       round(big_windows[-1], 3)]}),
             file=sys.stderr)
         # roofline accounting (VERDICT r2 #2): XLA's own per-executable
         # cost model -> achieved fraction of v5e HBM bandwidth / peak
