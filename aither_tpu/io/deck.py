@@ -217,6 +217,11 @@ _DEFAULTS = dict(
     schmidtNumber=0.9,
     freezingTemperature=0.0,
     multigridLevels=1,
+    # pre/post sweeps are parsed for deck compatibility but intentionally
+    # unconsumed — the REFERENCE also never consumes them: its MG cycle
+    # hardcodes max(matrixSweeps/2, 1) pre/post relaxations
+    # (mgSolution.cpp:171-195; MultigridPreSweeps() is only echoed at
+    # input.cpp:442-450).  The cycle here replicates that (driver._mg_cycle)
     multigridPreSweeps=2,
     multigridPostSweeps=1,
     multigridCycle="V",
@@ -253,7 +258,11 @@ _ENUM_VALUES = {
     "equationSet": {"euler", "navierStokes", "rans", "largeEddySimulation"},
     "matrixSolver": {"lusgs", "blusgs", "dplur", "bdplur"},
     "inviscidFlux": {"roe", "ausm"},
-    "inviscidFluxJacobian": {"rusanov", "approximateRoe", "exact"},
+    # the reference's implicit off-diagonal recognizes only these two and
+    # exits for anything else (fluxJacobian.cpp:196-237 OffDiagonal); the
+    # parser here rejects unsupported values up front instead of at the
+    # first implicit iteration
+    "inviscidFluxJacobian": {"rusanov", "approximateRoe"},
     "decompositionMethod": {"cubic", "manual"},
     "turbulenceModel": {"none", "kOmegaWilcox2006", "sst2003", "sstdes",
                         "wale"},

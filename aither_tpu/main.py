@@ -37,9 +37,10 @@ def main(argv=None):
     parser.add_argument("--nproc", type=int, default=1,
                         help="decompose the grid into this many device "
                              "slots (reference: mpirun -np N)")
-    parser.add_argument("--debug", action="store_true",
+    parser.add_argument("--debug", action="store_true", default=None,
                         help="per-iteration physicality checks (analogue "
-                             "of the reference's FP-exception trapping)")
+                             "of the reference's FP-exception trapping); "
+                             "unset defers to AITHER_DEBUG=1")
     parser.add_argument("--shard", type=int, default=0, metavar="N",
                         help="shard block state over an N-device mesh "
                              "(XLA GSPMD halo collectives over ICI; the "

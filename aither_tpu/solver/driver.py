@@ -63,6 +63,7 @@ class Solver:
             matrix_relaxation=deck["matrixRelaxation"],
             matrix_solver=deck["matrixSolver"],
             matrix_sweeps=deck["matrixSweeps"],
+            inv_flux_jac=deck["inviscidFluxJacobian"],
             matrix_init=deck.matrix_requires_initialization(),
             viscous=deck.is_viscous,
             implicit=deck.is_implicit,

@@ -39,6 +39,19 @@ from .sput import set_region
 #   (reference: fluxJacobian.cpp RusanovScalarOffDiagonal)
 
 
+def viscous_face_spectral_radius(phys: Physics, q, mag, dist, mu, mut=None):
+    """Viscous face spectral radius |A|/d · max(4/3ρ, γ/ρ)·(μ/Pr + μt/Prt)
+    (reference: spectralRadius.hpp:126-151 ViscFaceSpectralRadius)."""
+    t = st.temperature(phys, q)
+    r = st.rho(phys, q)
+    mf = q[:phys.ns] / r[None]
+    max_term = jnp.maximum(4.0 / (3.0 * r), phys.gamma(t, mf) / r)
+    visc_term = phys.nondim_scaling * (
+        mu / _prandtl(phys, t, mf)
+        + (mut / phys.turb_prandtl() if mut is not None else 0.0))
+    return mag / dist * max_term * visc_term
+
+
 def face_spectral_radius(phys: Physics, q, n, mag, dist=None, mu=None,
                          mut=None, viscous=False):
     """0.5*|A|*(|v·n| + a) (+ viscous term)
@@ -46,20 +59,28 @@ def face_spectral_radius(phys: Physics, q, n, mag, dist=None, mu=None,
     vel = st.velocity(phys, q)
     sr = 0.5 * mag * (jnp.abs((vel * n).sum(axis=0)) + st.sos(phys, q))
     if viscous:
-        t = st.temperature(phys, q)
-        r = st.rho(phys, q)
-        mf = q[:phys.ns] / r[None]
-        max_term = jnp.maximum(4.0 / (3.0 * r), phys.gamma(t, mf) / r)
-        visc_term = phys.nondim_scaling * (
-            mu / _prandtl(phys, t, mf)
-            + (mut / phys.turb_prandtl() if mut is not None else 0.0))
-        sr = sr + mag / dist * max_term * visc_term
+        sr = sr + viscous_face_spectral_radius(phys, q, mag, dist, mu, mut)
     return sr
 
 
 def _prandtl(phys, t, mf):
     g = phys.gamma(t, mf)
     return 4.0 * g / (9.0 * g - 5.0)
+
+
+def _turb_viscous_face_sr(phys: Physics, cfg, q_nb, mag, dist, mu, mut, f1):
+    """Turbulence-equation viscous face spectral radius |A|/d·(μ+σk·μt)/ρ
+    (reference: turbulence.cpp ViscFaceSpecRad per model)."""
+    from .viscous import sigma_k
+    r = st.rho(phys, q_nb)
+    model = cfg["turb_model"]
+    if model == "kOmegaWilcox2006":
+        mutx = r * q_nb[phys.it] / q_nb[phys.it + 1]
+        sk = sigma_k(model, 1.0)
+    else:
+        mutx = mut
+        sk = sigma_k(model, f1)
+    return phys.nondim_scaling * (mag / dist) / r * (mu + sk * mutx)
 
 
 def offdiagonal_scalar(phys: Physics, cfg, q_nb, du_nb, n, mag, positive,
@@ -82,17 +103,48 @@ def offdiagonal_scalar(phys: Physics, cfg, q_nb, du_nb, n, mag, positive,
         sr_t = (0.5 * mag * jnp.abs(vn + jnp.abs(vn)) if positive
                 else 0.5 * mag * jnp.abs(vn - jnp.abs(vn)))
         if cfg.get("viscous", False) and mut is not None:
-            from .viscous import sigma_k
-            r = st.rho(phys, q_nb)
-            model = cfg["turb_model"]
-            if model == "kOmegaWilcox2006":
-                mutx = r * q_nb[phys.it] / q_nb[phys.it + 1]
-                sk = sigma_k(model, 1.0)
-            else:
-                mutx = mut
-                sk = sigma_k(model, f1)
-            sr_t = sr_t + phys.nondim_scaling * (mag / dist) / r * (
-                mu + sk * mutx)
+            sr_t = sr_t + _turb_viscous_face_sr(phys, cfg, q_nb, mag, dist,
+                                                mu, mut, f1)
+        term = jnp.concatenate([term[:phys.it],
+                                sr_t[None] * du_nb[phys.it:]])
+    return dflux + term if positive else dflux - term
+
+
+def roe_offdiagonal(phys: Physics, cfg, q_nb, q_diag, du_nb, n, mag,
+                    positive, dist=None, mu=None, mut=None, f1=None):
+    """approximateRoe off-diagonal: the change in the Roe face flux caused
+    by the neighbor's update, with the diagonal cell's state held fixed
+    (reference: fluxJacobian.cpp:240-330 RoeOffDiagonal).
+
+    Semantics replicated exactly, including the reference's asymmetry: the
+    old flux always has the off-diagonal state on the left, while the new
+    flux swaps sides for the upper (positive=False) sweep.
+
+    Viscous term: the reference's OffDiagonal call site (fluxJacobian.cpp
+    :226-230) passes (mu, mut, f1, dist) into RoeOffDiagonal's
+    (mu, mut, dist, f1) parameters — f1 and the projected cell-to-cell
+    distance are SWAPPED, so the viscous spectral radius divides by f1.
+    For laminar flows f1 is 0 and the reference dies on a floating-point
+    exception (verified: viscousFlatPlate + approximateRoe traps on this
+    host); for SST, F1→0 away from walls with the same failure mode.  The
+    swap is an upstream bug with no runnable behavior to match, so this
+    implementation uses the correct argument order; inviscid behavior
+    (the only configuration the reference can actually run) is replicated
+    bit-for-bit and golden-tested.
+    """
+    from .flux import roe_flux
+    old = roe_flux(phys, q_nb, q_diag, n)
+    q_up = st.update_prim_with_cons(phys, q_nb, du_nb)
+    new = (roe_flux(phys, q_up, q_diag, n) if positive
+           else roe_flux(phys, q_diag, q_up, n))
+    dflux = mag[None] * (new - old)
+    if not cfg.get("viscous", False):
+        return dflux
+    # viscous-only spectral radius (no inviscid part, unlike Rusanov's)
+    sr = viscous_face_spectral_radius(phys, q_nb, mag, dist, mu, mut)
+    term = sr[None] * du_nb
+    if phys.nturb:
+        sr_t = _turb_viscous_face_sr(phys, cfg, q_nb, mag, dist, mu, mut, f1)
         term = jnp.concatenate([term[:phys.it],
                                 sr_t[None] * du_nb[phys.it:]])
     return dflux + term if positive else dflux - term
@@ -116,7 +168,16 @@ def offdiagonal_block(phys: Physics, cfg, q_nb, du_nb, n, mag, positive,
     return bj.block_matvec(jf, jt, du_nb, phys)
 
 
-def offdiagonal(phys: Physics, cfg, q_nb, du_nb, n, mag, positive, **kw):
+def offdiagonal(phys: Physics, cfg, q_nb, du_nb, n, mag, positive,
+                q_diag=None, **kw):
+    """Off-diagonal dispatch on inviscidFluxJacobian (reference:
+    fluxJacobian.cpp:196-237 OffDiagonal)."""
+    if cfg.get("inv_flux_jac", "rusanov") == "approximateRoe":
+        # always the flux-change form with the roe method, scalar and
+        # block solvers alike (reference: fluxJacobian.cpp:226 comment)
+        kw.pop("vgrad", None)
+        return roe_offdiagonal(phys, cfg, q_nb, q_diag, du_nb, n, mag,
+                               positive, **kw)
     if cfg.get("block_matrix"):
         return offdiagonal_block(phys, cfg, q_nb, du_nb, n, mag, positive,
                                  **kw)
@@ -146,7 +207,10 @@ def offdiagonal_block_channels(phys: Physics, cfg, q_nb, du_nb, n, mag,
 
 def offdiagonal_channels(phys: Physics, cfg, q_nb, du_nb, n, mag, positive,
                          **kw):
-    """Dispatch used inside the Pallas sweep kernel body."""
+    """Dispatch used inside the Pallas sweep kernel body.  approximateRoe
+    never reaches here: use_pallas() gates the kernel off for it (the Roe
+    off-diagonal needs the diagonal state, which the packed sweep stream
+    does not carry)."""
     if cfg.get("block_matrix"):
         return offdiagonal_block_channels(phys, cfg, q_nb, du_nb, n, mag,
                                           positive, **kw)
@@ -372,6 +436,9 @@ def offdiag_sum(phys: Physics, cfg, block, ctx, prim, du, side: str,
     g = block.g
     total = 0.0
     positive = side == "lower"
+    cell = (slice(None),) + tuple(
+        slice(g, g + nn) for nn in (block.ni, block.nj, block.nk))
+    q_diag = prim[cell]
     for d in "ijk":
         nb, face = _neighbor_slices(block, d, side)
         q_nb = prim[(slice(None),) + nb]
@@ -382,7 +449,7 @@ def offdiag_sum(phys: Physics, cfg, block, ctx, prim, du, side: str,
         if cfg.get("viscous", False):
             kw = _viscous_offdiag_kw(phys, cfg, block, d, nb, face, aux)
         contrib = offdiagonal(phys, cfg, q_nb, du_nb, nvec, mag,
-                              positive, **kw)
+                              positive, q_diag=q_diag, **kw)
         mask = (ctx.mask_lower if positive else ctx.mask_upper)[d]
         total = total + jnp.where(jnp.asarray(mask)[None], contrib, 0.0)
     return total
@@ -831,13 +898,15 @@ def lusgs_forward_group(phys: Physics, cfg, items, with_upper: bool,
     def body(carry, t):
         prev = carry  # previous plane (neq, J2, K2), already updated
         slab_nb = jax.lax.dynamic_index_in_dim(slab, t - 1, 1, False)
+        q_diag = jax.lax.dynamic_index_in_dim(slab, t, 1,
+                                              False)[:counts[0]]
         L = 0.0
         for d in "ijk":
             du_nb = _plane_shift(prev, d)
             q_nb, kw, n, mag, mask = _slab_kwargs(cfg, slab_nb, names,
                                                   counts, d, True, low[d], t)
             contrib = offdiagonal(phys, cfg, q_nb, du_nb, n, mag,
-                                  True, **kw)
+                                  True, q_diag=q_diag, **kw)
             L = L + jnp.where(mask[None], contrib, 0.0)
 
         bt = jax.lax.dynamic_index_in_dim(b_skew, t, 1, False)
@@ -913,13 +982,15 @@ def lusgs_backward_group(phys: Physics, cfg, items, with_lower: bool,
     def body(carry, t):
         nxt = carry  # next plane (t+1), already updated
         slab_nb = jax.lax.dynamic_index_in_dim(slab, t + 1, 1, False)
+        q_diag = jax.lax.dynamic_index_in_dim(slab, t, 1,
+                                              False)[:counts[0]]
         U = 0.0
         for d in "ijk":
             du_nb = _plane_shift_up(nxt, d)
             q_nb, kw, n, mag, mask = _slab_kwargs(cfg, slab_nb, names,
                                                   counts, d, False, upp[d], t)
             contrib = offdiagonal(phys, cfg, q_nb, du_nb, n, mag,
-                                  False, **kw)
+                                  False, q_diag=q_diag, **kw)
             U = U + jnp.where(mask[None], contrib, 0.0)
 
         ift = jax.lax.dynamic_index_in_dim(inv_flow_skew, t, 0, False)

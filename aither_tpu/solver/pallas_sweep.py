@@ -352,6 +352,10 @@ def use_pallas(cfg, dtype, phys=None) -> bool:
     mode (CPU parity tests)."""
     if cfg.get("no_pallas"):
         return False
+    if cfg.get("inv_flux_jac", "rusanov") != "rusanov":
+        # the Roe off-diagonal needs the diagonal cell's state, which the
+        # packed sweep stream does not carry — scan path only
+        return False
     if phys is not None and phys.thermo_model == "thermallyPerfect":
         return False
     if cfg.get("pallas_interpret"):

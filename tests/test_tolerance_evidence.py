@@ -94,6 +94,16 @@ EVIDENCE = {
     "convectingVortex": ("convectingVortex", {}, 30,
                          "convectingVortex_1p.resid", {3},
                          40, 1e-3, {None: 0.04}, set(), {}),
+    # regression: 2% (MODEL_VARIANT_CASES transonicBump-approximateRoe).
+    # The Roe flux-change off-diagonal (fluxJacobian.cpp:240-330) stalls
+    # this case near resid ~0.34 — the reference behaves identically —
+    # so the late trajectory is roundoff-chaotic: early rows agree to
+    # 2.3e-5, drift peaks at 0.95% (rows 94-97) and the final row sits
+    # at 0.83%.
+    "transonicBump-approxroe": ("transonicBump",
+                                {"inviscidFluxJacobian": "approximateRoe"},
+                                100, "transonicBump_approxroe_1p.resid",
+                                {3}, 10, 1e-4, {None: 0.02}, set(), {}),
 }
 
 
@@ -113,7 +123,12 @@ def test_drift_model(name, tmp_path):
     with open(deck) as f:
         text = f.read()
     for key, val in patches.items():
-        text = re.sub(rf"(?m)^{key}:.*$", f"{key}: {val}", text)
+        line = f"{key}: {val}"
+        if re.search(rf"(?m)^{key}:", text):
+            text = re.sub(rf"(?m)^{key}:.*$", line, text)
+        else:
+            text = re.sub(r"(?m)^equationSet:.*$",
+                          lambda m: m.group(0) + "\n" + line, text)
     with open(deck, "w") as f:
         f.write(text)
 

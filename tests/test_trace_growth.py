@@ -61,7 +61,16 @@ def test_trace_growth_sublinear_in_blocks(tmp_path):
     blocks4, eqns4 = _iteration_eqns(tmp_path, 4)
     assert blocks2 == 2 and blocks4 == 4
     ratio = eqns4 / eqns2
-    assert ratio < 2.0, (
+    # The hard bound is the 2.0 per-block-unroll ratio; sweep batching
+    # measured 1.88 on jax 0.9.0 when this was written.  Jaxpr equation
+    # counts shift with JAX lowering changes, so the threshold carries
+    # slack over the hard bound rather than the measured value — if it
+    # trips after a JAX upgrade, re-baseline using the printed counts.
+    print(f"trace growth: {eqns2} eqns (2 blocks) -> {eqns4} (4 blocks), "
+          f"ratio {ratio:.3f}")
+    assert ratio < 1.97, (
         f"iteration program grew {ratio:.2f}x for 2x the blocks "
-        f"({eqns2} -> {eqns4} jaxpr eqns); same-shape sweep batching "
-        f"is no longer bounding trace growth")
+        f"({eqns2} -> {eqns4} jaxpr eqns), at/above the per-block-unroll "
+        f"bound 2.0; same-shape sweep batching is no longer bounding "
+        f"trace growth (measured 1.88 at baseline — re-baseline if a JAX "
+        f"upgrade moved lowering)")
