@@ -57,8 +57,18 @@ def _inplane_map(conn: Connection, acceptor_is_first: bool):
 
 def fill_interblock_geometry(geos: list, conns: list, grids: list, g: int):
     """Overwrite each connection side's ghost-slab metrics with exact values
-    computed from donor node coordinates."""
+    computed from donor node coordinates.
+
+    INTERBLOCK connections only, exactly like the reference
+    (gridLevel.cpp:67-73 swaps geometry only when conn.IsInterblock()):
+    periodic connections keep the MIRRORED ghost geometry from
+    assign_ghost_geometry — the donor's nodes live on the far side of the
+    periodic transform, so metrics computed from them are only valid
+    after applying the translation/rotation; the reference never does
+    that, it mirrors (procBlock.cpp:2201-2263 'including periodic')."""
     for conn in conns:
+        if not conn.is_interblock:
+            continue
         for acceptor, donor, acc_is_first in ((conn.first, conn.second, True),
                                               (conn.second, conn.first,
                                                False)):

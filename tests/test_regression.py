@@ -217,6 +217,57 @@ MODEL_VARIANT_CASES = {
 }
 
 
+# Generated-case goldens (tests/gridgen.py): capabilities no case in the
+# reference testCases tree exercises, validated end-to-end against the
+# locally-built reference binary (tools/build_reference.sh), same
+# protocol as the 4-proc and model-variant goldens.
+GENERATED_CASES = {
+    # ROTATIONAL periodic connection: annular sector duct, axis-z
+    # rotation by pi/6 (reference: inputStates.hpp:391-432,
+    # boundaryConditions.cpp:2218-2240 patch::Rotate; ghost geometry
+    # stays MIRRORED for periodic — gridLevel.cpp:67-73 swaps geometry
+    # only for interblock).  Off-axis uniform IC keeps the trajectory
+    # live.  Our run matches the reference binary to all 5 printed
+    # digits on every equation for all 100 iterations.
+    "annularSector-rotation": (
+        "make_annular_sector", "annularSector", 100,
+        [6.5940e-04, 2.4946e-04, 4.2567e-04, 2.5870e-04, 3.9313e-04],
+        set()),
+    # constant-heat-flux viscous wall, time-marched (reference:
+    # ghostStates.cpp:193-240 isConstantHeatFlux branch): the official
+    # couette case with the stationary wall switched to heatFlux=-1e5
+    # W/m^2 — strongly discriminating (residuals move 3-9x vs the
+    # isothermal run by iteration 100).  Drift vs the reference binary
+    # peaks at 0.76% excluding the mom-z noise column.
+    "couette-heatFlux": (
+        "make_heatflux_couette", "couette", 100,
+        [4.4551e-01, 4.7106e-01, 6.4555e-01, 9.1777e-01, 3.7683e-01],
+        {3}),
+}
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(CASES), reason="reference cases absent")
+@pytest.mark.parametrize("name", sorted(GENERATED_CASES))
+def test_generated_case_regression(name, tmp_path):
+    """Locally-generated cases (rotational periodic, heat-flux wall) vs
+    reference-binary goldens."""
+    import gridgen
+    maker, case, iters, goldens, ignored = GENERATED_CASES[name][:5]
+    deck = getattr(gridgen, maker)(str(tmp_path))
+    from aither_tpu.solver.driver import Solver
+    solver = Solver(deck, workdir=str(tmp_path))
+    solver.run(iterations=iters)
+    with open(os.path.join(str(tmp_path), f"{case}.resid")) as f:
+        last = f.readlines()[-1].split()
+    resids = [float(v) for v in last[3:3 + len(goldens)]]
+    for i, (got, want) in enumerate(zip(resids, goldens)):
+        if i in ignored:
+            continue
+        assert got == pytest.approx(want, rel=0.01), (
+            f"{name} eq {i}: {got} vs golden {want}")
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(not os.path.isdir(CASES), reason="reference cases absent")
 @pytest.mark.parametrize("name", sorted(MODEL_VARIANT_CASES))

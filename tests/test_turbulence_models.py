@@ -168,3 +168,43 @@ def test_wale_les_case_runs(tmp_path):
     with open(resid) as f:
         last = f.readlines()[-1].split()
     assert all(np.isfinite(float(v)) for v in last[3:8])
+
+
+@pytest.mark.slow
+def test_wale_field_matches_reference(tmp_path):
+    """WALE eddy-viscosity FIELD vs the reference binary, elementwise.
+
+    WALE's Sd operator vanishes for pure shear (turbulence.cpp:967-997),
+    so no shear-dominated residual trajectory can discriminate the model
+    (couette-wale sits within 1% of plain couette; a WALE supersonicWedge
+    matches euler to all printed digits).  The discriminating quantity is
+    the mut field itself: 10 iterations of the curved annular-sector LES
+    (tests/gridgen.py), viscosityRatio at every cell center against the
+    reference binary's .fun output (goldens in tests/data/ref_fields)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from gridgen import make_annular_wale
+    from aither_tpu.solver.driver import Solver
+
+    golden = os.path.join(os.path.dirname(__file__), "data", "ref_fields",
+                          "wale_annular_10_viscosityRatio.npy")
+    if not os.path.exists(golden):
+        pytest.skip("reference golden field unavailable")
+    deck = make_annular_wale(str(tmp_path), iterations=10)
+    solver = Solver(deck, workdir=str(tmp_path))
+    solver.run(iterations=10, write_files=True)
+
+    fun = os.path.join(str(tmp_path), "annularSector_10_center.fun")
+    with open(fun, "rb") as f:
+        nb = np.fromfile(f, "<i4", 1)[0]
+        dims = np.fromfile(f, "<i4", 4 * nb).reshape(nb, 4)
+        ni, nj, nk, nv = dims[0]
+        data = np.fromfile(f, "<f8", ni * nj * nk * nv
+                           ).reshape(nv, nk, nj, ni)
+    got = data[-1]                       # viscosityRatio (alphabetical last)
+    want = np.load(golden)
+    assert got.shape == want.shape
+    # a live field (not zeros), and elementwise formula agreement
+    assert want.max() > 1e-4 and got.max() > 1e-4
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-12)
