@@ -54,6 +54,10 @@ class Block:
     geom: dict                # device arrays (jnp) keyed by name
     surfaces: list            # list[SurfaceSpec]
     prim0: Any                # initial padded primitive array (numpy)
+    geom_host: dict = None    # numpy mirror of geom (host consumers read
+    #                           this instead of fetching device arrays —
+    #                           a full-array fetch through a tunneled
+    #                           device costs seconds)
 
     @property
     def shape(self):
@@ -135,10 +139,15 @@ def _initial_prim(deck: Deck, phys: Physics, block_idx: int,
         evr = ic.get("eddyViscosityRatio", 0.01)
         vmag2 = sum(v * v for v in vel)
         tke = 1.5 * (ti * ti) * vmag2
+        import jax
         import jax.numpy as jnp
-        q = jnp.asarray(prim[:, :1, :1, :1])
-        tt = phys.temperature(q[phys.ie], q[:phys.ns])
-        mu = float(phys.viscosity(tt, q[:phys.ns] / rho)[0, 0, 0])
+        # scalar freestream state: run the few dozen eager physics ops on
+        # the host CPU backend — through a tunneled accelerator each one
+        # is a compile+dispatch round-trip (~50 s total measured)
+        with jax.default_device(jax.devices("cpu")[0]):
+            q = jnp.asarray(prim[:, :1, :1, :1])
+            tt = phys.temperature(q[phys.ie], q[:phys.ns])
+            mu = float(phys.viscosity(tt, q[:phys.ns] / rho)[0, 0, 0])
         omega = rho * tke / (evr * mu)
         tmin = phys.turb_min()
         prim[phys.it] = max(tke, tmin[0])
@@ -405,9 +414,9 @@ def assemble_case(deck, phys, grids, bcs, dtype, workdir,
     for b, geo in enumerate(geos):
         prim0 = _initial_prim(deck, phys, parents[b], geo.shape,
                               centers=geo.center, workdir=workdir)
-        geom = _device_geometry(geo, dtype)
+        geom, geom_host = _device_geometry(geo, dtype)
         blocks.append(Block(index=b, parent=parents[b], ni=geo.ni, nj=geo.nj,
-                            nk=geo.nk, g=g, geom=geom,
+                            nk=geo.nk, g=g, geom=geom, geom_host=geom_host,
                             surfaces=_surface_specs(deck, bcs[b], g),
                             prim0=prim0.astype(dtype)))
 
@@ -419,31 +428,43 @@ def assemble_case(deck, phys, grids, bcs, dtype, workdir,
 
 
 def _device_geometry(geo: BlockGeometry, dtype):
+    """Build the geometry dict twice from the same host arrays: device
+    (jnp) for the compute path, and a numpy mirror for host consumers
+    (sweep constants, output, multigrid coarsening) so they never fetch
+    device arrays back across a (possibly tunneled) transport."""
     import jax.numpy as jnp
-
-    def dev(x):
-        return jnp.asarray(x, dtype=dtype)
 
     def unit_and_mag(fa):
         mag = np.sqrt((fa * fa).sum(axis=-1))
         unit = np.where(mag[..., None] > 0.0, fa / np.where(
             mag[..., None] > 0.0, mag[..., None], 1.0), 0.0)
         # move xyz axis first: (3, ...)
-        return (dev(np.moveaxis(unit, -1, 0)), dev(mag))
+        return (np.moveaxis(unit, -1, 0), mag)
 
-    ni, nj, nk = geo.fa_i.shape[:3]
     n_i, mag_i = unit_and_mag(geo.fa_i)
     n_j, mag_j = unit_and_mag(geo.fa_j)
     n_k, mag_k = unit_and_mag(geo.fa_k)
-    return dict(
-        vol=dev(geo.vol),
-        center=dev(np.moveaxis(geo.center, -1, 0)),
+    host = dict(
+        vol=geo.vol,
+        center=np.moveaxis(geo.center, -1, 0),
         n_i=n_i, mag_i=mag_i, n_j=n_j, mag_j=mag_j, n_k=n_k, mag_k=mag_k,
-        fc_i=dev(np.moveaxis(geo.fc_i, -1, 0)),
-        fc_j=dev(np.moveaxis(geo.fc_j, -1, 0)),
-        fc_k=dev(np.moveaxis(geo.fc_k, -1, 0)),
-        width_i=dev(geo.width_i), width_j=dev(geo.width_j),
-        width_k=dev(geo.width_k),
-        wall_dist=dev(geo.wall_dist) if geo.wall_dist is not None
-        else dev(np.full_like(geo.vol, 1.0e10)),
+        fc_i=np.moveaxis(geo.fc_i, -1, 0),
+        fc_j=np.moveaxis(geo.fc_j, -1, 0),
+        fc_k=np.moveaxis(geo.fc_k, -1, 0),
+        width_i=geo.width_i, width_j=geo.width_j,
+        width_k=geo.width_k,
+        wall_dist=geo.wall_dist if geo.wall_dist is not None
+        else np.full_like(geo.vol, 1.0e10),
     )
+    host = {k: np.asarray(v, dtype=dtype) for k, v in host.items()}
+    device = {k: jnp.asarray(v) for k, v in host.items()}
+    return device, host
+
+
+def host_geom(block: Block, key: str) -> np.ndarray:
+    """Host (numpy) view of a block geometry array.  Prefers the numpy
+    mirror; falls back to a device fetch for Blocks built without one."""
+    gh = block.geom_host
+    if gh is not None and key in gh:
+        return gh[key]
+    return np.asarray(block.geom[key])

@@ -16,6 +16,7 @@ from . import step as step_mod
 from . import state as st_mod
 from . import state as st
 from . import implicit as imp
+from . import case as case_mod
 from .case import Case, build_case
 from .sput import set_region
 
@@ -76,6 +77,14 @@ class Solver:
             schmidt=deck["schmidtNumber"],
             turb_schmidt=0.7,
         )
+        # direction-sequencing barrier for large grids (see
+        # step.seq_barrier): bounds the iteration's temp memory at one
+        # direction pass's working set, which keeps XLA's scheduler in
+        # its high-overlap regime near HBM capacity
+        seq_env = os.environ.get("AITHER_SEQ_DIRECTIONS")
+        self.cfg["seq_directions"] = (
+            seq_env not in ("0", "") if seq_env is not None
+            else self.case.total_cells >= 2_000_000)
         # the LODI (nonreflecting) BCs are the only per-iteration consumer
         # of the cell pressure gradient (bc_aux carry); without them the
         # hot path skips its accumulation entirely (see step.full_residual)
@@ -806,7 +815,7 @@ class Solver:
         for b in self.case.blocks:
             g = b.g
             P = tuple(slice(g, g + n) for n in (b.ni, b.nj, b.nk))
-            aux = {"wall_dist": np.asarray(b.geom["wall_dist"][P])}
+            aux = {"wall_dist": case_mod.host_geom(b, "wall_dist")[P]}
             # current padded state: updated interior + the ghost values
             # assigned during the last iteration's BC pass — exactly the
             # reference's state_ at output time (ghosts are not refreshed
@@ -907,7 +916,7 @@ class Solver:
                     jnp.asarray(apad[:phys.ns] / rho_pad)))
                 naux["viscosity"] = out_mod.cell_to_node_state(mu_pad, g)
             naux["wall_dist"] = out_mod.cell_to_node_ghost_ignore_edge(
-                np.asarray(b.geom["wall_dist"]), g)
+                case_mod.host_geom(b, "wall_dist"), g)
             if "dt" in aux_in:
                 naux["dt"] = out_mod.cell_to_node_noghost_ignore_edge(
                     aux_in["dt"])
@@ -955,7 +964,7 @@ class Solver:
         """face centers (n1, n2, 3) of a viscousWall surface patch."""
         g = b.g
         d = spec.direction
-        fc = np.asarray(b.geom[f"fc_{d}"])
+        fc = case_mod.host_geom(b, f"fc_{d}")
         pos = g if spec.lower else g + {"i": b.ni, "j": b.nj,
                                         "k": b.nk}[d]
         sl = [slice(None)] * 4
@@ -975,7 +984,7 @@ class Solver:
         for b in self.case.blocks:
             g = b.g
             P = tuple(slice(g, g + n) for n in (b.ni, b.nj, b.nk))
-            c = np.asarray(b.geom["center"])[(slice(None),) + P]
+            c = case_mod.host_geom(b, "center")[(slice(None),) + P]
             centers.append(np.moveaxis(c, 0, -1))
         grid_root = os.path.join(self.workdir, self.deck["gridName"])
         out_mod.write_cell_center(f"{grid_root}_center.xyz", centers,

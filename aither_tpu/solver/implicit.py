@@ -622,8 +622,9 @@ def _static_neighbor_geom(ctx, block, side: str, viscous: bool, dtype):
     if key in ctx._static_nbr:
         return ctx._static_nbr[key]
     offs = -1 if side == "lower" else 1
-    shape = np.asarray(block.geom["vol"]).shape
-    center = np.asarray(block.geom["center"])
+    from .case import host_geom
+    shape = host_geom(block, "vol").shape
+    center = host_geom(block, "center")
     out = {}
     for d in "ijk":
         ax = AX[d]
@@ -633,8 +634,8 @@ def _static_neighbor_geom(ctx, block, side: str, viscous: bool, dtype):
         fi = ctx.skew_i + (1 if (ax == 0 and side == "upper") else 0)
         fj = ctx.skew_j + (1 if (ax == 1 and side == "upper") else 0)
         fk = ctx.skew_k + (1 if (ax == 2 and side == "upper") else 0)
-        nvec_all = np.asarray(block.geom[f"n_{d}"])
-        mag_all = np.asarray(block.geom[f"mag_{d}"])
+        nvec_all = host_geom(block, f"n_{d}")
+        mag_all = host_geom(block, f"mag_{d}")
         fi = np.clip(fi, 0, nvec_all.shape[1] - 1)
         fj = np.clip(fj, 0, nvec_all.shape[2] - 1)
         fk = np.clip(fk, 0, nvec_all.shape[3] - 1)

@@ -23,6 +23,8 @@ prolongation), so the whole multigrid iteration lives in one jit.
 
 from __future__ import annotations
 
+from . import case as case_mod
+
 import dataclasses
 
 import numpy as np
@@ -147,7 +149,7 @@ def coarsen_case(case):
 
         # volume weighting factor
         g = case.blocks[b].g
-        vol = np.asarray(case.blocks[b].geom["vol"])[
+        vol = case_mod.host_geom(case.blocks[b], "vol")[
             g:g + ni, g:g + nj, g:g + nk]
         cni = len(kept["i"]) - 1
         cnj = len(kept["j"]) - 1
@@ -157,7 +159,7 @@ def coarsen_case(case):
         volfac = vol / volsum[ci, cj, ck]
 
         # prolongation coefficients from fine centers in coarse node cells
-        centers = np.asarray(case.blocks[b].geom["center"])
+        centers = case_mod.host_geom(case.blocks[b], "center")
         centers = np.moveaxis(centers, 0, -1)[g:g + ni, g:g + nj, g:g + nk]
         prolong = np.zeros((7, ni, nj, nk))
         for fi in range(ni):

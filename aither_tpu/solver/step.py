@@ -516,7 +516,41 @@ def inviscid_residual(phys: Physics, deck_cfg, block, prim):
             # turbulence inviscid spectral radius (turbulence.cpp:100-110)
             specrad_turb = specrad_turb + vn * fmag
 
+        (prim, resid, specrad, specrad_turb, diag_flow_blk,
+         diag_turb_blk) = seq_barrier(
+            deck_cfg, (prim, resid, specrad, specrad_turb, diag_flow_blk,
+                       diag_turb_blk))
+
     return resid, specrad, specrad_turb, diag_flow_blk, diag_turb_blk
+
+
+def seq_barrier(cfg, tree):
+    """Direction-sequencing barrier for the i/j/k flux passes.
+
+    The three direction passes are data-independent until the residual
+    accumulation, so XLA's scheduler may keep all three passes' large
+    temporaries (reconstructed face states, face fluxes, face gradients)
+    live at once.  On small grids that overlap is free bandwidth; past a
+    few million cells the iteration's temp buffer grows toward the HBM
+    capacity and the scheduler degrades into a low-overlap,
+    low-throughput ordering (measured: 736 -> 464 achieved GB/s going
+    from 1.1M to 5.0M cells, flat bytes/cell).  Threading the loop-
+    carried values through ``lax.optimization_barrier`` after each pass
+    serializes the passes, bounding peak temp memory at one pass's
+    working set.  Enabled via cfg['seq_directions'] (driver: on for
+    >= 2M-cell cases, env override AITHER_SEQ_DIRECTIONS)."""
+    if not cfg.get("seq_directions"):
+        return tree
+    import jax
+
+    flat, treedef = jax.tree.flatten(tree)
+    is_arr = [hasattr(x, "shape") and hasattr(x, "dtype") for x in flat]
+    arrs = [x for x, a in zip(flat, is_arr) if a]
+    if not arrs:
+        return tree
+    arrs = list(jax.lax.optimization_barrier(tuple(arrs)))
+    out = [arrs.pop(0) if a else x for x, a in zip(flat, is_arr)]
+    return jax.tree.unflatten(treedef, out)
 
 
 def full_residual(phys: Physics, cfg, block, prim, need_aux=True):

@@ -812,6 +812,13 @@ def viscous_residual(phys: Physics, cfg, block, prim, t_all, mu_all,
             sr_turb = sr_turb + visc_coeff * tvsr
             diag_turb = diag_turb + 2.0 * tvsr
 
+        from .step import seq_barrier
+        (prim, t_all, mu_all, resid, sr_flow, sr_turb, diag_flow, diag_turb,
+         diag_flow_blk, diag_turb_blk, cellavg, wall_out) = seq_barrier(
+            cfg, (prim, t_all, mu_all, resid, sr_flow, sr_turb, diag_flow,
+                  diag_turb, diag_flow_blk, diag_turb_blk, cellavg,
+                  wall_out))
+
     cellavg["wall_out"] = wall_out
     return (resid, sr_flow, sr_turb, diag_flow, diag_turb, cellavg,
             diag_flow_blk, diag_turb_blk)

@@ -29,6 +29,19 @@ WARMUP = 4
 TIMED = 30
 
 
+def _sync(x) -> float:
+    """End-of-window sync by FETCHING a (small) value.
+
+    ``jax.block_until_ready`` has been observed to return before the
+    dispatched work completes on the tunneled device (measured: a 5M-cell
+    iteration "timed" at 12k iters/sec = ~3 PB/s of implied HBM traffic).
+    A host fetch cannot lie: the bytes only exist once the program ran.
+    Costs one tunnel round-trip per timed WINDOW — noise against the
+    multi-second window length."""
+    import numpy as np
+    return float(np.asarray(x).ravel()[0])
+
+
 def _extruded_case(nk=48):
     """rae2822 extruded in k to ``nk`` cells: same airfoil C-grid and BC
     topology, slipWall k-faces, ~1.13M cells of SST RANS."""
@@ -117,7 +130,7 @@ def main():
         for _ in range(TIMED):
             p, l2, linfs, mr, _aux = solver._iterate(p, cons_n, cons_nm1,
                                                      cfl, 0)
-        jax.block_until_ready(p)
+        _sync(l2)
         kernel_windows.append(TIMED / (time.perf_counter() - t0))
     kernel_windows.sort()
     kernel_ips = kernel_windows[1]  # median of 3
@@ -183,7 +196,7 @@ def main():
             t0 = time.perf_counter()
             for _ in range(NB):
                 pb, bl2, *_ = big._iterate(pb, bcn, bcm, bcfl, 0)
-            jax.block_until_ready(pb)
+            _sync(bl2)
             big_windows.append(NB / (time.perf_counter() - t0))
         big_windows.sort()
         import numpy as _np
@@ -208,6 +221,53 @@ def main():
                   file=sys.stderr)
     except Exception as e:  # scaling case must never break the headline
         print(f"3D scaling case failed: {e!r}", file=sys.stderr)
+
+    # >=5M-cell scale proof (round-3 verdict #6): the same extrusion at
+    # nk=213 -> 5,016,576 cells.  Whole block is alarm-bounded so a slow
+    # compile or an OOM retry loop can never hang the bench; skipped
+    # cleanly on single-chip HBM that cannot hold it.
+    if os.environ.get("AITHER_BENCH_5M", "1") not in ("0", ""):
+        import signal
+
+        def _alarm(signum, frame):
+            raise TimeoutError("5M block exceeded time budget")
+        old = signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(1500)
+        try:
+            del big  # free the nk=48 case's device buffers first
+            big5 = _extruded_case(nk=213)
+            bp, bcn, bcm = dict(big5.prims), big5.cons_n, big5.cons_nm1
+            bcfl = big5.deck.cfl(0)
+            ob = big5._iterate(bp, bcn, bcm, bcfl, 0)
+            jax.block_until_ready(ob[0])
+            for _ in range(2):
+                ob = big5._iterate(ob[0], bcn, bcm, bcfl, 0)
+            jax.block_until_ready(ob[0])
+            pb = ob[0]
+            NB = 8
+            wins = []
+            for _w in range(3):
+                t0 = time.perf_counter()
+                for _ in range(NB):
+                    pb, bl2, *_ = big5._iterate(pb, bcn, bcm, bcfl, 0)
+                _sync(bl2)
+                wins.append(NB / (time.perf_counter() - t0))
+            wins.sort()
+            import numpy as _np
+            assert _np.all(_np.isfinite(_np.asarray(bl2)))
+            cells = big5.case.total_cells
+            print(json.dumps({
+                "metric": "rae2822_3d_5M", "cells": cells,
+                "value": round(wins[1] * cells / 1e6, 2),
+                "unit": "Mcell-iters/sec",
+                "iters_per_sec": round(wins[1], 3),
+                "spread": [round(wins[0], 3), round(wins[-1], 3)]}),
+                file=sys.stderr)
+        except Exception as e:
+            print(f"5M scale case failed: {e!r}"[:300], file=sys.stderr)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
 
     # headline = production path (apples-to-apples with the reference's
     # .tme-derived baseline); kernel-only number reported alongside.
