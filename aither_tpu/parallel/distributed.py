@@ -114,6 +114,33 @@ def run_distributed(deck_path, iterations=None, write_files=False,
     return solver
 
 
+_BARRIER_SEQ = [0]
+
+
+def barrier_sync(tag: str, timeout_ms: int = 1_800_000) -> None:
+    """Hold every process at a coordination-service barrier (plain gRPC
+    through the jax.distributed coordinator — NOT a device collective).
+
+    Used between compiling and first-executing a cross-process program:
+    Gloo establishes its TCP pairs lazily at the first collective with a
+    hard ~30 s connect/KV timeout, so a process that starts executing
+    while a peer is still compiling (e.g. one loads a persisted
+    executable and the other recompiles) kills the whole job.  The
+    reference has the same structural point in MPI_Barrier after setup
+    (main.cpp:225).  Barrier ids must be unique per use; every process
+    calls these in the same program order, so a counter suffix agrees
+    globally."""
+    import jax
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed as _dist
+    client = _dist.global_state.client
+    if client is None:
+        return
+    _BARRIER_SEQ[0] += 1
+    client.wait_at_barrier(f"aither_{tag}_{_BARRIER_SEQ[0]}", timeout_ms)
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("localhost", 0))

@@ -144,7 +144,11 @@ def _initial_prim(deck: Deck, phys: Physics, block_idx: int,
         # scalar freestream state: run the few dozen eager physics ops on
         # the host CPU backend — through a tunneled accelerator each one
         # is a compile+dispatch round-trip (~50 s total measured)
-        with jax.default_device(jax.devices("cpu")[0]):
+        # local_devices, not devices: under multi-controller JAX the
+        # global list can start with another process's device, and
+        # placing this tiny computation there makes the result
+        # non-addressable here
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
             q = jnp.asarray(prim[:, :1, :1, :1])
             tt = phys.temperature(q[phys.ie], q[:phys.ns])
             mu = float(phys.viscosity(tt, q[:phys.ns] / rho)[0, 0, 0])

@@ -1180,8 +1180,24 @@ class Solver:
                 with self._bound_geometry(geo_args):
                     return jax.lax.scan(self._chunk_body, carry, cfls)
             self._chunk_jit = jax.jit(scan_steps)
+            if jax.process_count() > 1:
+                # multi-controller: compile FIRST, then hold every
+                # process at a coordination-service barrier before any
+                # execution, and keep calling the compiled object.  A
+                # process must never start the scan's cross-process
+                # collectives while a peer is still compiling — Gloo's
+                # lazy TCP/KV setup has a hard ~30 s timeout, and
+                # compile skew between processes is unbounded (one may
+                # load a persisted executable while another recompiles).
+                from ..parallel.distributed import barrier_sync
+                with self._trace_ctx():
+                    self._chunk_exec = self._chunk_jit.lower(
+                        self._geo_args, (prims, cons_n, cons_nm1, bc_aux),
+                        cfls).compile()
+                barrier_sync("chunk_compiled")
         with self._trace_ctx():
-            carry, ys = self._chunk_jit(
+            fn = getattr(self, "_chunk_exec", None) or self._chunk_jit
+            carry, ys = fn(
                 self._geo_args, (prims, cons_n, cons_nm1, bc_aux), cfls)
         return carry + (ys,)
 
