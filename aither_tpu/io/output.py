@@ -87,8 +87,17 @@ def variable_field(name, prim, phys, deck, aux=None):
         idx = deck.species_index(sp)
         return np.asarray(mf[idx])
     if name == "rank":
+        # owning rank of each cell under the decomposition (reference:
+        # output.cpp:278-280 SplitBlockNumber -> decomposition::Rank);
+        # the driver supplies the recombined per-cell field
+        if aux is not None and "rank" in aux:
+            return np.asarray(aux["rank"], np.float64)
         return np.zeros_like(np.asarray(rho))
     if name == "globalPosition":
+        # owning block's position in the global (post-split) block vector
+        # (reference: output.cpp:281-283 procBlock::GlobalPos)
+        if aux is not None and "globalPosition" in aux:
+            return np.asarray(aux["globalPosition"], np.float64)
         return np.zeros_like(np.asarray(rho))
     if name == "cp":
         # cp/cv read the averaged temperature field on nodal blocks

@@ -761,6 +761,18 @@ class Solver:
         view._prev_prims = prev_pads
         view.l2_first = self.l2_first
         view.iteration_start = self.iteration_start
+        # recombined per-cell decomposition debug fields: owning rank and
+        # owning block's global position (reference: output.cpp:278-283
+        # SplitBlockNumber -> Rank()/GlobalPos()); constant per split
+        # block, joined back into the parent layout like every output
+        # field
+        rank_j = joined(lambda b: np.full(
+            (b.ni, b.nj, b.nk), float(decomp.rank[b.index])), axes=(0, 1, 2))
+        gpos_j = joined(lambda b: np.full(
+            (b.ni, b.nj, b.nk), float(b.index)), axes=(0, 1, 2))
+        view._decomp_fields = {
+            vb.index: (rank_j[i], gpos_j[i])
+            for i, vb in enumerate(view.case.blocks)}
         return view
 
     def write_restart(self, iteration):
@@ -812,10 +824,19 @@ class Solver:
         full_prims = step_mod.apply_all_bcs(phys, self.case, dict(base),
                                             bc_aux=self.bc_aux,
                                             cons_n=self.cons_n)
+        dfields = getattr(self, "_decomp_fields", None)
+        decomp = getattr(self.case, "decomp", None)
         for b in self.case.blocks:
             g = b.g
             P = tuple(slice(g, g + n) for n in (b.ni, b.nj, b.nk))
             aux = {"wall_dist": case_mod.host_geom(b, "wall_dist")[P]}
+            if dfields is not None:       # recombined decomposed run
+                aux["rank"], aux["globalPosition"] = dfields[b.index]
+            else:                         # undecomposed: constants per block
+                rk = decomp.rank[b.index] if decomp is not None else 0
+                aux["rank"] = np.full((b.ni, b.nj, b.nk), float(rk))
+                aux["globalPosition"] = np.full((b.ni, b.nj, b.nk),
+                                                float(b.index))
             # current padded state: updated interior + the ghost values
             # assigned during the last iteration's BC pass — exactly the
             # reference's state_ at output time (ghosts are not refreshed
@@ -923,6 +944,10 @@ class Solver:
             if "resid" in aux_in:
                 naux["resid"] = out_mod.cell_to_node_noghost_ignore_edge(
                     aux_in["resid"])
+            for k in ("rank", "globalPosition"):
+                if k in aux_in:
+                    naux[k] = out_mod.cell_to_node_noghost_ignore_edge(
+                        aux_in[k])
             for k in ("mut", "f1", "f2"):
                 if k not in aux_in:
                     continue
@@ -1189,11 +1214,21 @@ class Solver:
                 # lazy TCP/KV setup has a hard ~30 s timeout, and
                 # compile skew between processes is unbounded (one may
                 # load a persisted executable while another recompiles).
+                # Compiles are STAGGERED: rank 0 compiles first and seeds
+                # the persistent compilation cache; the other ranks then
+                # load the identical SPMD executable from the cache
+                # instead of redundantly optimizing the same program —
+                # on a shared host (the driver's virtual-mesh dryrun)
+                # this removes N-1 concurrent full compiles.
                 from ..parallel.distributed import barrier_sync
+                if jax.process_index() > 0:
+                    barrier_sync("chunk_stagger")
                 with self._trace_ctx():
                     self._chunk_exec = self._chunk_jit.lower(
                         self._geo_args, (prims, cons_n, cons_nm1, bc_aux),
                         cfls).compile()
+                if jax.process_index() == 0:
+                    barrier_sync("chunk_stagger")
                 barrier_sync("chunk_compiled")
         with self._trace_ctx():
             fn = getattr(self, "_chunk_exec", None) or self._chunk_jit

@@ -113,6 +113,16 @@ def main():
     # sweeps each), residual norms computed on device every iteration.
     # Median of 3 timed windows with spread — a single window can land on
     # tunnel/host contention (round-2 verdict: 288 vs 388 minutes apart).
+    #
+    # K-DIFFERENCE timing (round-4 verdict #2): each window ends with a
+    # _sync host fetch whose tunnel round-trip is CONSTANT but not small
+    # against a 30-iteration window (~40 ms of compute) — the r3->r4
+    # "kernel regression" (499 -> 472 iters/s) was exactly this constant
+    # entering the window when f055675 switched to honest fetch-synced
+    # timing.  Timing the difference between a long and a short window
+    # cancels the round-trip exactly (same methodology as
+    # tools/roofline.measure_bandwidth), keeping the honest sync without
+    # billing the transport to the kernel.
     solver = Solver(deck, workdir=workdir)
     prims, cons_n, cons_nm1 = dict(solver.prims), solver.cons_n, \
         solver.cons_nm1
@@ -124,16 +134,25 @@ def main():
     jax.block_until_ready(out[0])
 
     p = out[0]
-    kernel_windows = []
-    for _w in range(3):
+
+    def window(n, p):
         t0 = time.perf_counter()
-        for _ in range(TIMED):
+        for _ in range(n):
             p, l2, linfs, mr, _aux = solver._iterate(p, cons_n, cons_nm1,
                                                      cfl, 0)
         _sync(l2)
-        kernel_windows.append(TIMED / (time.perf_counter() - t0))
+        return time.perf_counter() - t0, p
+
+    K_LO, K_HI = TIMED // 3, TIMED + TIMED // 3
+    kernel_windows = []
+    for _w in range(3):
+        t_lo, p = window(K_LO, p)
+        t_hi, p = window(K_HI, p)
+        dt = t_hi - t_lo
+        if dt > 0:
+            kernel_windows.append((K_HI - K_LO) / dt)
     kernel_windows.sort()
-    kernel_ips = kernel_windows[1]  # median of 3
+    kernel_ips = kernel_windows[len(kernel_windows) // 2]  # median
 
     # production throughput: the full run() path — store_old_solution,
     # residual decode + .resid/.tme logging, exactly what the reference's

@@ -108,3 +108,75 @@ def test_decomposed_restart_roundtrip(tmp_path):
                                         g:g + b0.nk]
     np.testing.assert_allclose(c, joined[0], rtol=1e-12, atol=1e-14)
     assert s1b.iteration_start == 10
+
+
+@needs_cases
+def test_decomposed_rank_global_position_fields(tmp_path):
+    """`rank` / `globalPosition` output variables carry the REAL
+    decomposition map (reference: output.cpp:278-283 SplitBlockNumber ->
+    decomposition::Rank / procBlock::GlobalPos), recombined into the
+    parent block layout."""
+    import re
+    from aither_tpu.io.output import read_fun_file
+    from aither_tpu.solver.driver import Solver
+    tmp = str(tmp_path)
+    _copy_case("subsonicCylinder", tmp)
+    deck = os.path.join(tmp, "subsonicCylinder.inp")
+    s = open(deck).read()
+    s = re.sub(r"(?m)^outputVariables:.*$",
+               "outputVariables: <density, rank, globalPosition>", s)
+    with open(deck, "w") as f:
+        f.write(s)
+    s2 = Solver(deck, workdir=tmp, nproc=2)
+    assert len(s2.case.blocks) == 2 and s2.case.decomp.splits
+    s2.write_output(0)
+    _, blocks = read_fun_file(os.path.join(tmp,
+                                           "subsonicCylinder_0_center.fun"))
+    assert len(blocks) == 1                 # parent layout on disk
+    # variable order in the file = deck.output_variables (sorted):
+    # [density, globalPosition, rank]
+    names = s2.deck.output_variables
+    rank = blocks[0][names.index("rank")]
+    gpos = blocks[0][names.index("globalPosition")]
+    decomp = s2.case.decomp
+    (lo, up, d, ind) = decomp.splits[0]
+    ax = "ijk".index(d)
+    sl_lo = [slice(None)] * 3
+    sl_lo[ax] = slice(0, ind)
+    sl_up = [slice(None)] * 3
+    sl_up[ax] = slice(ind, None)
+    np.testing.assert_array_equal(rank[tuple(sl_lo)],
+                                  float(decomp.rank[lo]))
+    np.testing.assert_array_equal(rank[tuple(sl_up)],
+                                  float(decomp.rank[up]))
+    np.testing.assert_array_equal(gpos[tuple(sl_lo)], float(lo))
+    np.testing.assert_array_equal(gpos[tuple(sl_up)], float(up))
+    # the two halves land on different device slots
+    assert decomp.rank[lo] != decomp.rank[up]
+
+
+@needs_cases
+def test_undecomposed_rank_global_position(tmp_path):
+    """nproc=1 multi-block case: rank stays 0 everywhere, globalPosition
+    is the block's index in the global vector."""
+    import re
+    from aither_tpu.io.output import read_fun_file
+    from aither_tpu.solver.driver import Solver
+    tmp = str(tmp_path)
+    _copy_case("multiblockCylinder", tmp)
+    deck = os.path.join(tmp, "multiblockCylinder.inp")
+    s = open(deck).read()
+    s = re.sub(r"(?m)^outputVariables:.*$",
+               "outputVariables: <density, rank, globalPosition>", s)
+    with open(deck, "w") as f:
+        f.write(s)
+    s1 = Solver(deck, workdir=tmp, nproc=1)
+    s1.write_output(0)
+    _, blocks = read_fun_file(
+        os.path.join(tmp, "multiblockCylinder_0_center.fun"))
+    assert len(blocks) > 1
+    names = s1.deck.output_variables
+    ri, gi = names.index("rank"), names.index("globalPosition")
+    for bi, blk in enumerate(blocks):
+        np.testing.assert_array_equal(blk[ri], 0.0)
+        np.testing.assert_array_equal(blk[gi], float(bi))
