@@ -42,9 +42,13 @@ def _sync(x) -> float:
     return float(np.asarray(x).ravel()[0])
 
 
-def _extruded_case(nk=48):
+def _extruded_case(nk=48, nproc=1):
     """rae2822 extruded in k to ``nk`` cells: same airfoil C-grid and BC
-    topology, slipWall k-faces, ~1.13M cells of SST RANS."""
+    topology, slipWall k-faces, ~1.13M cells of SST RANS.  ``nproc``
+    applies the reference-identical cubic decomposition (sub-blocks +
+    connection swaps) — on TPU this bounds each block's working set,
+    which keeps XLA's scheduler in its high-overlap regime on
+    multi-million-cell grids (see solver/step.seq_barrier)."""
     import numpy as np
     from aither_tpu.io.plot3d import read_p3d, write_p3d
     from aither_tpu.solver.driver import Solver
@@ -73,7 +77,7 @@ def _extruded_case(nk=48):
     deck = os.path.join(workdir, "rae2822.inp")
     with open(deck, "w") as f:
         f.writelines(out)
-    return Solver(deck, workdir=workdir)
+    return Solver(deck, workdir=workdir, nproc=nproc)
 
 
 def main():

@@ -214,6 +214,25 @@ MODEL_VARIANT_CASES = {
         "transonicBump", {"inviscidFluxJacobian": "approximateRoe"}, 100,
         [3.3764e-01, 6.2529e-01, 3.4889e-01, 1.0000e+00, 3.7616e-01], {3},
         {0: 0.02, 1: 0.02, 2: 0.02, 4: 0.02}),
+    # MULTIGRID x RANS (round-4 verdict missing #3): FAS 2-level V cycle
+    # over the SST k-omega flat plate with DPLUR smoothing — the coarse
+    # level restricts turbulence variables and recomputes viscous
+    # residuals/Jacobians on the coarse mesh (reference:
+    # gridLevel.cpp:440-536 Coarsen, mgSolution.cpp:160-206).  Goldens
+    # from the locally-built reference binary.  Config notes (measured on
+    # that binary): with the official lusgs/CFL=1e5 settings the MG
+    # correction is invisible at print precision (the fine relax already
+    # drives the matrix residual to ~1e-9), and rae2822+MG diverges by
+    # FPE in the reference itself at any tested CFL — so the golden uses
+    # dplur + CFL=1000, where MG visibly accelerates convergence (mass
+    # 0.278 vs 0.663 without MG at iteration 19) and the trajectory is
+    # smooth.  sdr gets the usual 3% omega-amplification bound.
+    "turbFlatPlate-mg-rans": (
+        "turbFlatPlate", {"matrixSolver": "dplur", "matrixSweeps": 4,
+                          "multigridLevels": 2, "cflStart": 1000,
+                          "cflMax": 1000}, 20,
+        [2.7767e-01, 2.6778e-01, 1.1505e+00, 3.7968e-01, 2.6774e-01,
+         1.5539e-07, 1.5555e-06], {2}, {6: 0.03}),
 }
 
 
