@@ -212,13 +212,42 @@ class Solver:
         GSPMD partitioner inserts the halo collectives the reference
         implements by hand over MPI, procBlock.cpp:3050-3123).  Call
         before run(); retraces under the SPMD-safe update formulation
-        (solver/sput.py) with the XLA scan sweeps (a pallas call is not
-        partitionable across devices)."""
+        (solver/sput.py).
+
+        A bare pallas_call is not partitionable across devices, but the
+        LU-SGS sweep kernel survives sharding when every same-shape
+        sweep group splits into WHOLE blocks per device: the group sweep
+        stacks blocks along K2 with block k-boundaries masked, so
+        sharding stacked-K2 with shard boundaries ON block boundaries is
+        mathematically exact, and each device runs the Pallas sweep on
+        its local blocks inside a shard_map island
+        (pallas_sweep.sweep).  When the group shapes don't permit that
+        (or the case isn't lusgs/blusgs) all kernels fall back to the
+        partitionable scan formulation."""
         from ..parallel.shard import make_mesh, block_spec
         from jax.sharding import NamedSharding, PartitionSpec
         self.shard_mesh = mesh or make_mesh(
             n_devices or len(jax.devices()))
-        self.cfg["no_pallas"] = True
+        nd = int(self.shard_mesh.size)
+        sweep_shardable = (
+            self.deck.is_implicit
+            and self.cfg["matrix_solver"] in ("lusgs", "blusgs")
+            and all(len(grp) % nd == 0
+                    for lvl in range(len(self.mg_cases))
+                    for grp in self._sweep_groups(lvl)))
+        if sweep_shardable:
+            self.cfg["sweep_shard_mesh"] = self.shard_mesh
+            self.cfg["no_pallas_march"] = True
+            # prepacked sweep statics embed the q-plane padding, which
+            # now derives from the per-device K2 — rebuild them
+            for lvl in range(len(self.mg_cases)):
+                for ctx in self.mg_ictx[lvl].values():
+                    if hasattr(ctx, "_static_packed"):
+                        ctx._static_packed = {}
+                        ctx._static_offs = {}
+            self._geo_args = self._build_geo_args()
+        else:
+            self.cfg["no_pallas"] = True
         repl = NamedSharding(self.shard_mesh, PartitionSpec())
         put_repl = lambda t: jax.tree_util.tree_map(
             lambda x: jax.device_put(jnp.asarray(x), repl), t)

@@ -844,7 +844,7 @@ def prepare_group_sweep(phys: Physics, cfg, items, sides=("lower", "upper")):
         prep[side] = geom
         if prep["pallas"]:
             q = ps.plane_chunk(prep["P"], ps.stream_channels(phys, cfg),
-                               prep["valid"].shape[-1],
+                               prep["valid"].shape[-1] // ps.shard_count(cfg),
                                prep["valid"].shape[-2], dtype,
                                block_matrix=blk)
             if q == 0 and not cfg.get("pallas_interpret"):

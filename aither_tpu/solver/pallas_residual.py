@@ -102,7 +102,8 @@ def march_axes(block):
 
 
 def use_march(phys: Physics, cfg, block, dtype, for_prepack=False) -> bool:
-    if cfg.get("no_pallas") or not cfg.get("viscous"):
+    if cfg.get("no_pallas") or cfg.get("no_pallas_march") \
+            or not cfg.get("viscous"):
         return False
     if not for_prepack and getattr(block, "_vmarch_meta", None) is None:
         # statics are prepacked at Solver init from concrete geometry;

@@ -45,6 +45,15 @@ def _pack(fields, dtype):
     return jnp.concatenate(parts, axis=1), offs
 
 
+def shard_count(cfg) -> int:
+    """Number of sweep shards when the stacked-K2 axis is shard_map'd
+    over a device mesh (cfg['sweep_shard_mesh'], set by
+    driver.enable_sharding).  The per-device kernel sees K2/n planes, so
+    every VMEM-budget decision (plane_chunk) must use the LOCAL width."""
+    mesh = cfg.get("sweep_shard_mesh")
+    return int(mesh.size) if mesh is not None else 1
+
+
 def stream_channels(phys, cfg):
     """Total streamed channels per plane across the three operands —
     computable identically at init-time prepack and at sweep time, so
@@ -132,7 +141,8 @@ def pack_static_sweep(phys, cfg, nbr, valid, dtype, side):
     fields["valid"] = (jnp.asarray(valid).astype(dtype), "plain")
     packed, offs = _pack(fields, dtype)
     P, Cs, J2, K2 = packed.shape
-    q = plane_chunk(P, stream_channels(phys, cfg), K2, J2, dtype,
+    q = plane_chunk(P, stream_channels(phys, cfg), K2 // shard_count(cfg),
+                    J2, dtype,
                     block_matrix=bool(cfg.get("block_matrix", False)))
     if q == 0:
         if cfg.get("pallas_interpret"):
@@ -324,22 +334,49 @@ def sweep(phys, cfg, packed_s, offs_s, packed_i, offs_i, nbr_sub,
         carry[...] = prev
 
     blk = lambda p: (p, 0, 0, 0)
-    out = pl.pallas_call(
-        kernel,
-        grid=(Pq // q,),
-        in_specs=[
-            pl.BlockSpec((q, Cs, K2, J2), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((q, Ci, K2, J2), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((q, Cw, K2, J2), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((neq, K2, J2), lambda p: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((q, neq, K2, J2), blk,
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Pq, neq, K2, J2), dtype),
-        scratch_shapes=[pltpu.VMEM((neq, K2, J2), dtype)],
-        interpret=bool(cfg.get("pallas_interpret", False)),
-    )(packed_s, packed_i, packed_w, carry0)
+
+    def invoke(s_, i_, w_, c0_):
+        # BlockSpec shapes from the OPERANDS so the same call body works
+        # per-device inside shard_map (local K2 = stacked K2 / n_shards)
+        K2l = w_.shape[2]
+        return pl.pallas_call(
+            kernel,
+            grid=(Pq // q,),
+            in_specs=[
+                pl.BlockSpec((q, Cs, K2l, J2), blk,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((q, Ci, K2l, J2), blk,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((q, Cw, K2l, J2), blk,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((neq, K2l, J2), lambda p: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((q, neq, K2l, J2), blk,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Pq, neq, K2l, J2), dtype),
+            scratch_shapes=[pltpu.VMEM((neq, K2l, J2), dtype)],
+            interpret=bool(cfg.get("pallas_interpret", False)),
+        )(s_, i_, w_, c0_)
+
+    mesh = cfg.get("sweep_shard_mesh")
+    if mesh is not None:
+        # shard_map island: each device sweeps ITS whole blocks of the
+        # stacked-K2 axis (driver.enable_sharding guarantees shard
+        # boundaries land on block k-boundaries, where the in-plane
+        # k-shift contributions are already masked out) — the one way a
+        # pallas_call partitions across a mesh (VERDICT r4 item 5)
+        from jax.sharding import PartitionSpec
+        try:
+            from jax import shard_map as _smap
+        except ImportError:            # older jax
+            from jax.experimental.shard_map import shard_map as _smap
+        ax = tuple(mesh.axis_names)
+        sp4 = PartitionSpec(None, None, ax, None)
+        sp3 = PartitionSpec(None, ax, None)
+        invoke = _smap(invoke, mesh=mesh, in_specs=(sp4, sp4, sp4, sp3),
+                       out_specs=sp4, check_vma=False)
+    out = invoke(packed_s, packed_i, packed_w, carry0)
     return jnp.swapaxes(out[:P - 1], 2, 3)
 
 

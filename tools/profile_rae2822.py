@@ -15,15 +15,35 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, *args, n=20, **kw):
+def _fetch(out):
+    """Fetch-sync: block_until_ready has been observed to return before
+    the tunneled device finishes (see bench._sync) — fetch one element of
+    one leaf so the timing window provably covers the compute."""
     import jax
+    import numpy as np
+    leaves = [x for x in jax.tree.leaves(out)
+              if hasattr(x, "dtype") and getattr(x, "size", 0)]
+    if leaves:
+        float(np.asarray(leaves[0]).ravel()[0])
+
+
+def timeit(fn, *args, n=20, **kw):
+    """K-difference fetch-synced timing (bench.py methodology): time an
+    n-call and a 3n-call window, each ended by a host fetch, and report
+    (t_hi - t_lo) / (2n) — the constant fetch round-trip cancels."""
     out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n * 1e3, out
+    _fetch(out)
+
+    def window(k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            o = fn(*args, **kw)
+        _fetch(o)
+        return time.perf_counter() - t0, o
+
+    t_lo, out = window(n)
+    t_hi, out = window(3 * n)
+    return (t_hi - t_lo) / (2 * n) * 1e3, out
 
 
 def main():
@@ -56,18 +76,30 @@ def main():
     cfl = jnp.asarray(solver.deck.cfl(0), case.dtype)
     prims = dict(solver.prims)
     cons_n, cons_nm1 = solver.cons_n, solver.cons_nm1
+    geo = solver._geo_args
+
+    def jit_geo(f):
+        """jit a phase with geometry passed as an ARGUMENT (driver
+        _bound_geometry) — closing over multi-million-cell geom arrays
+        inlines them into the compile payload (tunnel HTTP 413)."""
+        def wrapped(geo_args, *a):
+            with solver._bound_geometry(geo_args):
+                return f(*a)
+        jf = jax.jit(wrapped)
+        return lambda *a: jf(geo, *a)
 
     t_all, _ = timeit(solver._iterate, prims, cons_n, cons_nm1, cfl, 0)
-    print(f"full _iterate:        {t_all:8.3f} ms")
+    print(f"full _iterate:        {t_all:8.3f} ms", flush=True)
 
-    bcs = jax.jit(lambda p: step_mod.apply_all_bcs(
+    bcs = jit_geo(lambda p: step_mod.apply_all_bcs(
         phys, case, p, bc_aux=solver.bc_aux, cons_n=cons_n))
     t_bc, prims_bc = timeit(bcs, prims)
-    print(f"apply_all_bcs:        {t_bc:8.3f} ms")
+    print(f"apply_all_bcs:        {t_bc:8.3f} ms", flush=True)
 
-    fr = jax.jit(lambda p: step_mod.full_residual(phys, cfg, b, p[b.index], need_aux=False))
+    fr = jit_geo(lambda p: step_mod.full_residual(
+        phys, cfg, b, p[b.index], need_aux=False))
     t_fr, fr_out = timeit(fr, prims_bc)
-    print(f"full_residual:        {t_fr:8.3f} ms")
+    print(f"full_residual:        {t_fr:8.3f} ms", flush=True)
     resid, sr_f, sr_t, dg_f, dg_t, _, prim_v, aux = fr_out
 
     sr = jnp.maximum(sr_f, sr_t) if phys.nturb else sr_f
@@ -78,9 +110,9 @@ def main():
         bb = imp.rhs_b(phys, b, cfg, prim_v, resid, cons_n[b.index],
                        cons_nm1[b.index], dt)
         return dt, inv_f, inv_t, bb
-    t_su, (dt, inv_f, inv_t, bb) = timeit(jax.jit(setup), resid, sr, dg_f,
+    t_su, (dt, inv_f, inv_t, bb) = timeit(jit_geo(setup), resid, sr, dg_f,
                                           dg_t, prim_v, aux)
-    print(f"dt/diag/rhs:          {t_su:8.3f} ms")
+    print(f"dt/diag/rhs:          {t_su:8.3f} ms", flush=True)
 
     ctx = solver.ictx[b.index]
     du = jnp.zeros((phys.neq,) + b.shape, case.dtype)
@@ -91,46 +123,56 @@ def main():
         it_skew = (imp.skew_from_physical(ctx, inv_t)
                    if inv_t is not None else None)
         return b_skew, if_skew, it_skew
-    t_sk, (b_skew, if_skew, it_skew) = timeit(jax.jit(skews), bb, inv_f,
+    t_sk, (b_skew, if_skew, it_skew) = timeit(jit_geo(skews), bb, inv_f,
                                               inv_t)
-    print(f"skew transforms:      {t_sk:8.3f} ms")
+    print(f"skew transforms:      {t_sk:8.3f} ms", flush=True)
 
-    fwd = jax.jit(lambda p, du: imp.lusgs_forward(
-        phys, cfg, b, ctx, p, du, b_skew, if_skew, it_skew, False, aux=aux))
-    t_f, du_f = timeit(fwd, prim_v, du)
-    print(f"lusgs_forward:        {t_f:8.3f} ms")
+    # device arrays must be ARGS, not closures — closed-over concrete
+    # arrays embed as constants in the payload (tunnel HTTP 413 at 5M)
+    fwd = jit_geo(lambda p, du, bs, ifs, its, ax: imp.lusgs_forward(
+        phys, cfg, b, ctx, p, du, bs, ifs, its, False, aux=ax))
+    t_f, du_f = timeit(fwd, prim_v, du, b_skew, if_skew, it_skew, aux)
+    print(f"lusgs_forward:        {t_f:8.3f} ms", flush=True)
 
-    bwd = jax.jit(lambda p, du: imp.lusgs_backward(
-        phys, cfg, b, ctx, p, du, b_skew, if_skew, it_skew, False, aux=aux))
-    t_b, _ = timeit(bwd, prim_v, du_f)
-    print(f"lusgs_backward:       {t_b:8.3f} ms")
+    bwd = jit_geo(lambda p, du, bs, ifs, its, ax: imp.lusgs_backward(
+        phys, cfg, b, ctx, p, du, bs, ifs, its, False, aux=ax))
+    t_b, _ = timeit(bwd, prim_v, du_f, b_skew, if_skew, it_skew, aux)
+    print(f"lusgs_backward:       {t_b:8.3f} ms", flush=True)
 
-    swap = jax.jit(lambda d: step_mod.swap_connection_states(
-        phys, case.blocks, d, case.connections[0], g))
-    t_sw, _ = timeit(swap, {b.index: du_f})
-    print(f"du connection swap:   {t_sw:8.3f} ms")
+    def prep_only(p, bs, ifs, its, ax):
+        items = [dict(block=b, ctx=ctx, prim=p, du=None, b=bs,
+                      inv_f=ifs, inv_t=its, aux=ax)]
+        pr = imp.prepare_group_sweep(phys, cfg, items)
+        return pr["slab"][0], pr["b"], pr["valid"]
+    t_pr, _ = timeit(jit_geo(prep_only), prim_v, b_skew, if_skew, it_skew,
+                     aux)
+    print(f"prepare_group_sweep:  {t_pr:8.3f} ms", flush=True)
 
-    mr = jax.jit(lambda p, du: imp.matrix_residual(
-        phys, cfg, b, ctx, p, du, bb, 1.0 / if_skew if if_skew is not None
-        else None, None, aux=aux))
+    if case.connections:
+        swap = jit_geo(lambda d: step_mod.swap_connection_states(
+            phys, case.blocks, d, case.connections[0], g))
+        t_sw, _ = timeit(swap, {b.index: du_f})
+        print(f"du connection swap:   {t_sw:8.3f} ms", flush=True)
+
     try:
-        t_mr, _ = timeit(jax.jit(lambda p, du: imp.matrix_residual(
-            phys, cfg, b, ctx, p, du, bb,
-            1.0 / inv_f, None if inv_t is None else 1.0 / inv_t, aux=aux)),
-            prim_v, du_f)
-        print(f"matrix_residual:      {t_mr:8.3f} ms")
+        t_mr, _ = timeit(jit_geo(lambda p, du, bb_, if_, it_, ax:
+                                 imp.matrix_residual(
+            phys, cfg, b, ctx, p, du, bb_,
+            1.0 / if_, None if it_ is None else 1.0 / it_, aux=ax)),
+            prim_v, du_f, bb, inv_f, inv_t, aux)
+        print(f"matrix_residual:      {t_mr:8.3f} ms", flush=True)
     except Exception as e:
         print("matrix_residual: skipped", e)
 
-    upd = jax.jit(lambda p, du: step_mod.implicit_update(
+    upd = jit_geo(lambda p, du: step_mod.implicit_update(
         phys, b, p, du[(slice(None), slice(g, g + b.ni),
                         slice(g, g + b.nj), slice(g, g + b.nk))]))
     t_u, _ = timeit(upd, prim_v, du_f)
-    print(f"implicit_update:      {t_u:8.3f} ms")
+    print(f"implicit_update:      {t_u:8.3f} ms", flush=True)
 
-    norms = jax.jit(step_mod.residual_norms)
+    norms = jit_geo(step_mod.residual_norms)
     t_n, _ = timeit(norms, resid)
-    print(f"residual_norms:       {t_n:8.3f} ms")
+    print(f"residual_norms:       {t_n:8.3f} ms", flush=True)
 
 
 if __name__ == "__main__":
