@@ -316,10 +316,19 @@ def build_implicit_context(block) -> ImplicitContext:
 # double shear, expressible as pad + reshape (the classic wavefront /
 # diagonal-reindex trick) instead of a gather — TPU gathers over a 3-D
 # operand serialize (~1 ms for the rae2822 block; 18 of them dominated the
-# iteration), while the shear is a bandwidth-bound relayout (~µs).
+# iteration), while the shear is a bandwidth-bound relayout.
 # Out-of-range slots (|i| beyond the ghost padding) become `fill`; every
 # consumer masks those slots (skew_valid / mask channels), exactly as it
 # masked the clamped-gather garbage before.
+#
+# SCALE NOTE (round-5, tools/shear_bench.py): at 5M cells the flatten
+# trick's per-row lane rotation runs at only ~12 GB/s standalone
+# (17.5 of an 18.3 ms 7-channel shear; a plain copy does 584 GB/s).  A
+# stack-of-static-diagonal-slices formulation is 5x faster STANDALONE
+# (6.7 ms) but made the full 5M iteration 1.7x SLOWER in context
+# (459 -> 790 ms, barrier-insensitive — the A-operand concat graph
+# wrecks XLA's scheduling of the surrounding program), so the flatten
+# form stays.  At <= 1.13M cells the two are a wash in context.
 
 
 def _shear_sub(x, d0, dA, Q, fill):
@@ -731,6 +740,69 @@ def _plane_shift_up(plane, d: str):
     return jnp.roll(plane, -1, axis=axis)
 
 
+def offdiag_lagged_skew(phys: Physics, cfg, prep, du_skew, side: str):
+    """Lagged opposite-side off-diagonal term, computed ENTIRELY in skew
+    space (neq, P, J2, K2), vectorized over all hyperplanes.
+
+    The sweeps' lagged terms (U during forward, L during backward —
+    linearSolver.cpp:341-428 uses the PREVIOUS sweep's du there) have no
+    recurrence: they read the fully-materialized du_skew at the
+    neighboring plane with the same in-plane shifts the carry uses.  The
+    old path evaluated them in physical layout (offdiag_sum) and then
+    relayouted through skew_from_physical — 6 full-field passes + 6
+    shear relayouts per nonlinear iteration; at multi-million cells the
+    relayouts alone were ~18 ms each.  All operands here (state slab,
+    per-side face geometry) already exist in prep, so this is one fused
+    elementwise pass.  Values at invalid skew slots are garbage by
+    construction and discarded by the sweeps' `valid` masks / the face
+    masks, exactly as the scan body's own contributions are."""
+    slab, names, counts = prep["slab"]
+    geom = prep[side]
+    up = side == "upper"
+    # neighbor plane: p+1 (upper) / p-1 (lower); edge planes clamp —
+    # their slots are masked
+    if up:
+        slab_nb = jnp.concatenate([slab[:, 1:], slab[:, -1:]], axis=1)
+        du_nb_p = jnp.concatenate([du_skew[:, 1:], du_skew[:, -1:]], axis=1)
+    else:
+        slab_nb = jnp.concatenate([slab[:, :1], slab[:, :-1]], axis=1)
+        du_nb_p = jnp.concatenate([du_skew[:, :1], du_skew[:, :-1]], axis=1)
+    q_diag = slab[:counts[0]]
+
+    def bulk_shift(arr, d):
+        # same roll as the per-plane carry shift, axes offset by the P axis
+        if d == "i":
+            return arr
+        axis = 2 if d == "j" else 3
+        return jnp.roll(arr, -1 if up else 1, axis=axis)
+
+    total = 0.0
+    for d in "ijk":
+        sh = bulk_shift(slab_nb, d)
+        du_nb = bulk_shift(du_nb_p, d)
+        q_nb = None
+        kw = {}
+        pos = 0
+        for nm, c in zip(names, counts):
+            v = sh[pos:pos + c]
+            pos += c
+            if nm == "q_nb":
+                q_nb = v
+            elif nm == "vgrad":
+                kw["vgrad"] = v.reshape((3, 3) + v.shape[1:])
+            else:
+                kw[nm] = v[0]
+        if cfg.get("viscous", False):
+            kw["dist"] = geom[d]["dist"]
+            for kk2 in ("mu", "mut", "f1"):
+                kw.setdefault(kk2, None)
+        contrib = offdiagonal(phys, cfg, q_nb, du_nb, geom[d]["n"],
+                              geom[d]["mag"], not up, q_diag=q_diag, **kw)
+        mask = geom[d]["mask"]
+        total = total + jnp.where(jnp.asarray(mask)[None], contrib, 0.0)
+    return total
+
+
 # ---------------------------------------------------------------------------
 # same-shape block stacking along the k axis.
 #
@@ -879,16 +951,15 @@ def lusgs_forward_group(phys: Physics, cfg, items, with_upper: bool,
     group of same-shape blocks stacked along the k axis
     (reference: linearSolver.cpp:341-383)."""
     if prep is None:
-        prep = prepare_group_sweep(phys, cfg, items, sides=("lower",))
+        prep = prepare_group_sweep(
+            phys, cfg, items,
+            sides=("lower", "upper") if with_upper else ("lower",))
     K2, P = prep["K2"], prep["P"]
     du_skew = _cat_k([skew(it["ctx"], it["du"]) for it in items])
     if with_upper:
-        U_term = _cat_k([
-            skew_from_physical(
-                it["ctx"],
-                offdiag_sum(phys, cfg, it["block"], it["ctx"], it["prim"],
-                            it["du"], "upper", it["aux"]))
-            for it in items])
+        # lagged U from the previous sweep's du, evaluated in skew space
+        # (one fused pass; no physical-layout round trip)
+        U_term = offdiag_lagged_skew(phys, cfg, prep, du_skew, "upper")
     else:
         U_term = 0.0
     low = prep["lower"]
@@ -963,16 +1034,13 @@ def lusgs_backward_group(phys: Physics, cfg, items, with_lower: bool,
     """Backward LUSGS sweep, batched over a group of same-shape blocks
     stacked along the k axis (reference: linearSolver.cpp:385-428)."""
     if prep is None:
-        prep = prepare_group_sweep(phys, cfg, items, sides=("upper",))
+        prep = prepare_group_sweep(
+            phys, cfg, items,
+            sides=("upper", "lower") if with_lower else ("upper",))
     K2, P = prep["K2"], prep["P"]
     du_skew = _cat_k([skew(it["ctx"], it["du"]) for it in items])
     if with_lower:
-        L_term = _cat_k([
-            skew_from_physical(
-                it["ctx"],
-                offdiag_sum(phys, cfg, it["block"], it["ctx"], it["prim"],
-                            it["du"], "lower", it["aux"]))
-            for it in items])
+        L_term = offdiag_lagged_skew(phys, cfg, prep, du_skew, "lower")
     else:
         L_term = None
     upp = prep["upper"]

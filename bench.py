@@ -113,8 +113,9 @@ def main():
                               "vs_baseline": 0.0}))
             return 1
 
-    # device-kernel throughput: steady-state implicit iterations (4 LU-SGS
-    # sweeps each), residual norms computed on device every iteration.
+    # device-kernel throughput: steady-state implicit iterations (one
+    # forward + one backward LU-SGS sweep each, matrixSweeps: 1),
+    # residual norms computed on device every iteration.
     # Median of 3 timed windows with spread — a single window can land on
     # tunnel/host contention (round-2 verdict: 288 vs 388 minutes apart).
     #

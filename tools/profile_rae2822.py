@@ -17,14 +17,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def _fetch(out):
     """Fetch-sync: block_until_ready has been observed to return before
-    the tunneled device finishes (see bench._sync) — fetch one element of
-    one leaf so the timing window provably covers the compute."""
+    the tunneled device finishes (see bench._sync) — fetch ONE element
+    (sliced on device first: fetching a whole leaf would pull megabytes
+    through the tunnel) of the smallest leaf so the timing window
+    provably covers the compute."""
     import jax
-    import numpy as np
     leaves = [x for x in jax.tree.leaves(out)
               if hasattr(x, "dtype") and getattr(x, "size", 0)]
     if leaves:
-        float(np.asarray(leaves[0]).ravel()[0])
+        x = min(leaves, key=lambda a: a.size)
+        float(jax.device_get(x[(0,) * x.ndim]))
 
 
 def timeit(fn, *args, n=20, **kw):
@@ -86,20 +88,40 @@ def main():
             with solver._bound_geometry(geo_args):
                 return f(*a)
         jf = jax.jit(wrapped)
-        return lambda *a: jf(geo, *a)
+        call = lambda *a: jf(geo, *a)
+        call._jf = jf
+        return call
+
+    def cost_str(fn, *args):
+        """post-fusion bytes + flops of the compiled phase (XLA cost
+        analysis; same semantics as tools/roofline.iteration_cost)."""
+        try:
+            jf = getattr(fn, "_jf", None)
+            ca = (jf.lower(geo, *args) if jf is not None
+                  else solver._iterate_geo.lower(
+                      geo, *args, stage=0)).compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            return (f"  {float(ca.get('bytes accessed', 0)) / 1e9:7.2f} GB"
+                    f"  {float(ca.get('flops', 0)) / 1e9:7.2f} GF")
+        except Exception as e:
+            return f"  cost? {e!r}"[:60]
 
     t_all, _ = timeit(solver._iterate, prims, cons_n, cons_nm1, cfl, 0)
-    print(f"full _iterate:        {t_all:8.3f} ms", flush=True)
+    print(f"full _iterate:        {t_all:8.3f} ms"
+          + cost_str(None, prims, cons_n, cons_nm1, cfl), flush=True)
 
     bcs = jit_geo(lambda p: step_mod.apply_all_bcs(
         phys, case, p, bc_aux=solver.bc_aux, cons_n=cons_n))
     t_bc, prims_bc = timeit(bcs, prims)
-    print(f"apply_all_bcs:        {t_bc:8.3f} ms", flush=True)
+    print(f"apply_all_bcs:        {t_bc:8.3f} ms" + cost_str(bcs, prims),
+          flush=True)
 
     fr = jit_geo(lambda p: step_mod.full_residual(
         phys, cfg, b, p[b.index], need_aux=False))
     t_fr, fr_out = timeit(fr, prims_bc)
-    print(f"full_residual:        {t_fr:8.3f} ms", flush=True)
+    print(f"full_residual:        {t_fr:8.3f} ms" + cost_str(fr, prims_bc),
+          flush=True)
     resid, sr_f, sr_t, dg_f, dg_t, _, prim_v, aux = fr_out
 
     sr = jnp.maximum(sr_f, sr_t) if phys.nturb else sr_f
@@ -110,9 +132,11 @@ def main():
         bb = imp.rhs_b(phys, b, cfg, prim_v, resid, cons_n[b.index],
                        cons_nm1[b.index], dt)
         return dt, inv_f, inv_t, bb
-    t_su, (dt, inv_f, inv_t, bb) = timeit(jit_geo(setup), resid, sr, dg_f,
+    su = jit_geo(setup)
+    t_su, (dt, inv_f, inv_t, bb) = timeit(su, resid, sr, dg_f,
                                           dg_t, prim_v, aux)
-    print(f"dt/diag/rhs:          {t_su:8.3f} ms", flush=True)
+    print(f"dt/diag/rhs:          {t_su:8.3f} ms"
+          + cost_str(su, resid, sr, dg_f, dg_t, prim_v, aux), flush=True)
 
     ctx = solver.ictx[b.index]
     du = jnp.zeros((phys.neq,) + b.shape, case.dtype)
@@ -123,30 +147,38 @@ def main():
         it_skew = (imp.skew_from_physical(ctx, inv_t)
                    if inv_t is not None else None)
         return b_skew, if_skew, it_skew
-    t_sk, (b_skew, if_skew, it_skew) = timeit(jit_geo(skews), bb, inv_f,
-                                              inv_t)
-    print(f"skew transforms:      {t_sk:8.3f} ms", flush=True)
+    sk = jit_geo(skews)
+    t_sk, (b_skew, if_skew, it_skew) = timeit(sk, bb, inv_f, inv_t)
+    print(f"skew transforms:      {t_sk:8.3f} ms" + cost_str(sk, bb, inv_f,
+                                                             inv_t),
+          flush=True)
 
     # device arrays must be ARGS, not closures — closed-over concrete
     # arrays embed as constants in the payload (tunnel HTTP 413 at 5M)
     fwd = jit_geo(lambda p, du, bs, ifs, its, ax: imp.lusgs_forward(
         phys, cfg, b, ctx, p, du, bs, ifs, its, False, aux=ax))
     t_f, du_f = timeit(fwd, prim_v, du, b_skew, if_skew, it_skew, aux)
-    print(f"lusgs_forward:        {t_f:8.3f} ms", flush=True)
+    print(f"lusgs_forward:        {t_f:8.3f} ms"
+          + cost_str(fwd, prim_v, du, b_skew, if_skew, it_skew, aux),
+          flush=True)
 
     bwd = jit_geo(lambda p, du, bs, ifs, its, ax: imp.lusgs_backward(
         phys, cfg, b, ctx, p, du, bs, ifs, its, False, aux=ax))
     t_b, _ = timeit(bwd, prim_v, du_f, b_skew, if_skew, it_skew, aux)
-    print(f"lusgs_backward:       {t_b:8.3f} ms", flush=True)
+    print(f"lusgs_backward:       {t_b:8.3f} ms"
+          + cost_str(bwd, prim_v, du_f, b_skew, if_skew, it_skew, aux),
+          flush=True)
 
     def prep_only(p, bs, ifs, its, ax):
         items = [dict(block=b, ctx=ctx, prim=p, du=None, b=bs,
                       inv_f=ifs, inv_t=its, aux=ax)]
         pr = imp.prepare_group_sweep(phys, cfg, items)
         return pr["slab"][0], pr["b"], pr["valid"]
-    t_pr, _ = timeit(jit_geo(prep_only), prim_v, b_skew, if_skew, it_skew,
-                     aux)
-    print(f"prepare_group_sweep:  {t_pr:8.3f} ms", flush=True)
+    pr_fn = jit_geo(prep_only)
+    t_pr, _ = timeit(pr_fn, prim_v, b_skew, if_skew, it_skew, aux)
+    print(f"prepare_group_sweep:  {t_pr:8.3f} ms"
+          + cost_str(pr_fn, prim_v, b_skew, if_skew, it_skew, aux),
+          flush=True)
 
     if case.connections:
         swap = jit_geo(lambda d: step_mod.swap_connection_states(
