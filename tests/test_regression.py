@@ -40,6 +40,11 @@ IMPLICIT_CASES = {
     # is roundoff noise from iteration 0, and the drift grows smoothly
     # (2e-5 @ step 5, 4e-3 @ step 20, 2.5e-2 @ step 99) — the LODI
     # switching amplifies 1-ulp cross-implementation differences by ~1e12.
+    # Round-5 ratchet check: this round's numerics changes are bitwise
+    # no-ops on this deck (matrixSweeps: 1 never builds the lagged sweep
+    # terms; the shear formulation was reverted unchanged), so the
+    # measured 2.5e-2 end-of-trajectory drift — and hence the 4% bound —
+    # still stands; a 2% bound would sit inside the measured envelope.
     "convectingVortex": (100, [5.2772e+00, 6.3732e-01, 7.0928e-01,
                                1.0000e+00, 7.9563e-01], {3}, 0.04),
     # O2 dissociation: reacting Arrhenius chemistry + thermally perfect
